@@ -1,0 +1,192 @@
+"""Host -> HBM input pipeline.
+
+The reference's throughput model is a ``torch.utils.data.DataLoader`` with
+forked workers decoding one TIFF pair per ``__getitem__`` (train_model.py:
+159-177, 607-632). On TPU the bottleneck budget is different: the chip consumes
+thousands of tiles per second, so the host path here is
+
+  1. a one-time threaded decode of the directory into a **packed float32
+     cache** — a flat (N, H, W, 2) array, memory-mapped from disk so epochs
+     after the first stream at page-cache speed and 40k-tile datasets don't
+     need to fit in RAM (SURVEY.md §7 step 6);
+  2. per-epoch shuffling by permuted *indices* into the packed array (no
+     per-sample Python work in the loop);
+  3. an async device-transfer prefetcher that keeps the next batch's H2D copy
+     in flight while the current step computes.
+
+Normalization and augmentation intentionally do NOT happen here — they are
+jittable device ops (see transforms.py), so the cache stores raw decoded
+pixels and stays valid for both train and eval consumers.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import hashlib
+import os
+from typing import Iterator, List, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from crosstalk_tpu.data.index import Sample
+from crosstalk_tpu.data.tiff import read_tile
+
+
+class Batch(NamedTuple):
+    """One host-side batch. ``mask`` flags real (non-padding) samples."""
+
+    inputs: np.ndarray   # (B, H, W, 2) float32, raw (unnormalized) pixels
+    labels: np.ndarray   # (B, 1) float32 alpha
+    ids: np.ndarray      # (B,) int64 image ids
+    mask: np.ndarray     # (B,) float32, 1.0 = real sample, 0.0 = padding
+
+
+def _fingerprint(samples: Sequence[Sample]) -> str:
+    """Cache key over the exact file set + mtimes + sizes."""
+    h = hashlib.sha256()
+    for s in samples:
+        for p in (s.mixed_path, s.source_path):
+            st = os.stat(p)
+            h.update(p.encode())
+            h.update(f":{st.st_mtime_ns}:{st.st_size};".encode())
+    return h.hexdigest()[:16]
+
+
+def load_tiles(
+    samples: Sequence[Sample],
+    jobs: int = 1,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Decode all tile pairs into a packed (N, H, W, 2) float32 array."""
+    if not samples:
+        raise ValueError("load_tiles() received no samples")
+    first = read_tile(samples[0].mixed_path)
+    h, w = first.shape
+    n = len(samples)
+    if out is None:
+        out = np.empty((n, h, w, 2), dtype=np.float32)
+
+    def _load(i: int) -> None:
+        out[i, :, :, 0] = read_tile(samples[i].mixed_path)
+        out[i, :, :, 1] = read_tile(samples[i].source_path)
+
+    if jobs > 1:
+        with cf.ThreadPoolExecutor(max_workers=jobs) as pool:
+            list(pool.map(_load, range(n)))
+    else:
+        for i in range(n):
+            _load(i)
+    return out
+
+
+class TileStore:
+    """Packed decoded-tile storage for a sample list.
+
+    With ``cache_dir`` set, the packed array lives in a memory-mapped ``.npy``
+    keyed by the file set's fingerprint; otherwise it is held in RAM.
+    Labels/ids are tiny and always in RAM.
+    """
+
+    def __init__(
+        self,
+        samples: Sequence[Sample],
+        jobs: int = 1,
+        cache_dir: Optional[str] = None,
+    ):
+        self.samples: List[Sample] = list(samples)
+        self.labels = np.array(
+            [[s.scalar_label] for s in self.samples], dtype=np.float32
+        )
+        self.ids = np.array([int(s.image_id) for s in self.samples], dtype=np.int64)
+
+        if cache_dir is None:
+            self.tiles = load_tiles(self.samples, jobs=jobs)
+            return
+
+        os.makedirs(cache_dir, exist_ok=True)
+        path = os.path.join(cache_dir, f"tiles_{_fingerprint(self.samples)}.npy")
+        if not os.path.exists(path):
+            first = read_tile(self.samples[0].mixed_path)
+            shape = (len(self.samples), *first.shape, 2)
+            tmp = path + ".tmp"
+            arr = np.lib.format.open_memmap(
+                tmp, mode="w+", dtype=np.float32, shape=shape
+            )
+            load_tiles(self.samples, jobs=jobs, out=arr)
+            arr.flush()
+            del arr
+            os.replace(tmp, path)
+        self.tiles = np.load(path, mmap_mode="r")
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+
+def iterate_batches(
+    store: TileStore,
+    batch_size: int,
+    shuffle: bool = False,
+    drop_last: bool = False,
+    seed: int = 0,
+    epoch: int = 0,
+) -> Iterator[Batch]:
+    """Yield host batches from a TileStore.
+
+    The final partial batch is padded to ``batch_size`` with a zero ``mask``
+    (static shapes: every batch compiles to the same XLA program) unless
+    ``drop_last`` — the training-loop default, matching the reference's
+    train loader (train_model.py:613). Unlike the reference we do NOT drop
+    the last val/test batch (its drop_last=True on eval loaders silently
+    discards entire small splits — train_model.py:622,631).
+    """
+    n = len(store)
+    order = np.arange(n)
+    if shuffle:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+        rng.shuffle(order)
+
+    end = (n // batch_size) * batch_size if drop_last else n
+    for start in range(0, end, batch_size):
+        idx = order[start : start + batch_size]
+        real = len(idx)
+        if real < batch_size:  # pad-and-mask the tail
+            pad = np.zeros(batch_size - real, dtype=idx.dtype)
+            idx = np.concatenate([idx, pad])
+        # fancy-index on a memmap materializes just this batch in RAM
+        inputs = np.asarray(store.tiles[idx], dtype=np.float32)
+        labels = store.labels[idx]
+        ids = store.ids[idx]
+        mask = np.zeros(batch_size, dtype=np.float32)
+        mask[:real] = 1.0
+        yield Batch(inputs, labels, ids, mask)
+
+
+def num_batches(n: int, batch_size: int, drop_last: bool) -> int:
+    return n // batch_size if drop_last else -(-n // batch_size)
+
+
+def device_prefetch(iterator, sharding=None, depth: int = 2):
+    """Overlap H2D transfer with compute.
+
+    Eagerly ``jax.device_put``s up to ``depth`` upcoming batches (optionally
+    with a `NamedSharding` so each data-parallel shard lands directly on its
+    device) and yields them in order. JAX transfers are async, so by the time
+    the consumer blocks on batch k, batch k+1's copy is already streaming.
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def _put(batch: Batch):
+        if sharding is None:
+            return jax.device_put(batch)
+        return Batch(*(jax.device_put(x, sharding) for x in batch))
+
+    for batch in iterator:
+        queue.append(_put(batch))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

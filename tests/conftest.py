@@ -1,0 +1,58 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual XLA devices so the data-parallel mesh path is
+exercised exactly the way a v5e-8 slice would be, without TPU hardware (the
+standard JAX technique: --xla_force_host_platform_device_count).
+This must happen before the first `import jax` anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+from crosstalk_tpu.data.tiff import write_tile
+
+REFERENCE_DATA = "/root/reference/Training_Data"
+
+
+@pytest.fixture(scope="session")
+def reference_data_dirs():
+    """The reference repo's bundled 100-tile dataset, if present."""
+    mixed = os.path.join(REFERENCE_DATA, "Mixed")
+    source = os.path.join(REFERENCE_DATA, "Source")
+    if not (os.path.isdir(mixed) and os.path.isdir(source)):
+        pytest.skip("reference Training_Data not available")
+    return mixed, source
+
+
+def make_synthetic_dataset(root, n=12, size=32, seed=0):
+    """Create a tiny synthetic paired-tile dataset in the reference's on-disk
+    layout (float64 tiles, reference filename schema)."""
+    mixed_dir = os.path.join(root, "Mixed")
+    source_dir = os.path.join(root, "Source")
+    os.makedirs(mixed_dir, exist_ok=True)
+    os.makedirs(source_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        image_id = 1000 + i * 7
+        alpha = round(float(rng.uniform(0.01, 0.5)), 2)
+        source = rng.random((size, size))
+        other = rng.random((size, size))
+        mixed = other + alpha * source
+        name = f"image_{image_id}_alpha_{alpha}"
+        write_tile(os.path.join(mixed_dir, f"{name}_mixed.tif"), mixed)
+        write_tile(os.path.join(source_dir, f"{name}_source.tif"), source)
+    return mixed_dir, source_dir
+
+
+@pytest.fixture()
+def synthetic_data_dirs(tmp_path):
+    return make_synthetic_dataset(str(tmp_path))

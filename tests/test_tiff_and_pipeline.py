@@ -1,0 +1,143 @@
+"""TIFF IO, transforms, and host-pipeline tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from crosstalk_tpu.data.index import PairIndex
+from crosstalk_tpu.data.pipeline import (
+    TileStore,
+    device_prefetch,
+    iterate_batches,
+    load_tiles,
+    num_batches,
+)
+from crosstalk_tpu.data.tiff import read_tile, write_tile
+from crosstalk_tpu.data.transforms import (
+    normalize_batch_nhwc,
+    normalize_tile,
+    paired_random_flips,
+)
+
+
+def test_tiff_roundtrip(tmp_path):
+    for dtype in (np.float64, np.float32, np.uint16, np.uint8):
+        img = (np.random.default_rng(0).random((16, 24)) * 100).astype(dtype)
+        path = str(tmp_path / f"t_{np.dtype(dtype).name}.tif")
+        write_tile(path, img)
+        back = read_tile(path, dtype=dtype)
+        np.testing.assert_array_equal(back, img)
+
+
+def test_fast_reader_matches_imageio_on_reference(reference_data_dirs):
+    import glob
+    import imageio.v3 as iio
+
+    mixed_dir, _ = reference_data_dirs
+    for path in sorted(glob.glob(f"{mixed_dir}/*.tif"))[:3]:
+        ours = read_tile(path)
+        theirs = iio.imread(path).astype(np.float32)
+        np.testing.assert_array_equal(ours, theirs)
+        assert ours.shape == (256, 256)
+
+
+def test_normalize_matches_reference_semantics():
+    rng = np.random.default_rng(1)
+    img = (rng.random((32, 32)) * 7 + 3).astype(np.float32)
+    out = np.asarray(normalize_tile(jnp.asarray(img)))
+    expected = (img - img.min()) / (img.max() - img.min())
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+    assert out.min() == 0.0 and out.max() == 1.0
+    # constant tile passes through unchanged (train_model.py:213-216)
+    const = np.full((8, 8), 3.5, dtype=np.float32)
+    np.testing.assert_array_equal(np.asarray(normalize_tile(jnp.asarray(const))), const)
+
+
+def test_normalize_batch_per_channel():
+    rng = np.random.default_rng(2)
+    batch = rng.random((4, 16, 16, 2)).astype(np.float32) * 10
+    out = np.asarray(normalize_batch_nhwc(jnp.asarray(batch)))
+    for b in range(4):
+        for c in range(2):
+            tile = batch[b, :, :, c]
+            np.testing.assert_allclose(
+                out[b, :, :, c],
+                (tile - tile.min()) / (tile.max() - tile.min()),
+                atol=1e-6,
+            )
+
+
+def test_paired_flips_keep_channels_aligned():
+    rng = np.random.default_rng(3)
+    batch = rng.random((64, 8, 8, 2)).astype(np.float32)
+    out = np.asarray(paired_random_flips(jax.random.key(0), jnp.asarray(batch)))
+    n_h = n_v = n_id = 0
+    for b in range(64):
+        x = batch[b]
+        candidates = {
+            "id": x,
+            "h": x[:, ::-1, :],
+            "v": x[::-1, :, :],
+            "hv": x[::-1, ::-1, :],
+        }
+        matches = [k for k, v in candidates.items() if np.array_equal(out[b], v)]
+        assert matches, "output must be one of the 4 flip variants of the input"
+        n_h += "h" in matches[0]
+        n_v += "v" in matches[0]
+        n_id += matches[0] == "id"
+    # with p=0.5 each over 64 samples, all variants should appear
+    assert 0 < n_h < 64 and 0 < n_v < 64
+
+
+def test_tilestore_and_batches(synthetic_data_dirs, tmp_path):
+    mixed_dir, source_dir = synthetic_data_dirs
+    index = PairIndex(mixed_dir, source_dir)
+    store = TileStore(index.samples, jobs=2, cache_dir=str(tmp_path / "cache"))
+    assert store.tiles.shape == (12, 32, 32, 2)
+
+    # cached reopen gives identical content
+    store2 = TileStore(index.samples, jobs=2, cache_dir=str(tmp_path / "cache"))
+    np.testing.assert_array_equal(np.asarray(store.tiles), np.asarray(store2.tiles))
+
+    # pad-and-mask: 12 samples at batch 5 -> 3 batches, last has 2 real
+    batches = list(iterate_batches(store, batch_size=5))
+    assert len(batches) == num_batches(12, 5, drop_last=False) == 3
+    assert batches[-1].mask.sum() == 2
+    assert all(b.inputs.shape == (5, 32, 32, 2) for b in batches)
+    assert all(b.labels.shape == (5, 1) for b in batches)
+
+    # drop_last: 2 batches
+    assert len(list(iterate_batches(store, 5, drop_last=True))) == 2
+
+    # shuffling is deterministic per (seed, epoch) and differs across epochs
+    a = [b.ids.tolist() for b in iterate_batches(store, 5, shuffle=True, seed=7, epoch=0)]
+    b_ = [b.ids.tolist() for b in iterate_batches(store, 5, shuffle=True, seed=7, epoch=0)]
+    c = [b.ids.tolist() for b in iterate_batches(store, 5, shuffle=True, seed=7, epoch=1)]
+    assert a == b_ and a != c
+
+    # content correctness: batch rows match the store rows by id
+    batch = batches[0]
+    for j in range(5):
+        i = int(np.where(store.ids == batch.ids[j])[0][0])
+        np.testing.assert_array_equal(batch.inputs[j], np.asarray(store.tiles[i]))
+
+
+def test_device_prefetch_order(synthetic_data_dirs):
+    mixed_dir, source_dir = synthetic_data_dirs
+    index = PairIndex(mixed_dir, source_dir)
+    store = TileStore(index.samples, jobs=1)
+    plain = list(iterate_batches(store, 4))
+    fetched = list(device_prefetch(iterate_batches(store, 4)))
+    assert len(plain) == len(fetched)
+    for p, f in zip(plain, fetched):
+        np.testing.assert_array_equal(p.inputs, np.asarray(f.inputs))
+        np.testing.assert_array_equal(p.ids, np.asarray(f.ids))
+
+
+def test_load_tiles_parallel_equals_serial(synthetic_data_dirs):
+    mixed_dir, source_dir = synthetic_data_dirs
+    index = PairIndex(mixed_dir, source_dir)
+    serial = load_tiles(index.samples, jobs=1)
+    parallel = load_tiles(index.samples, jobs=4)
+    np.testing.assert_array_equal(serial, parallel)
