@@ -1,0 +1,233 @@
+"""PyTorch ``.pth`` <-> Flax weight conversion.
+
+The reference ships (and its README documents) PyTorch ``state_dict``
+checkpoints (torch.save at train_model.py:460,647; torch.load at
+train_model.py:671 and test-cross-talk-model.py:320). This module makes those
+checkpoints first-class citizens of the TPU framework, in both directions:
+
+  * ``torch_to_flax``: load a reference-trained .pth into our Flax models for
+    evaluation / fine-tuning (the <=1e-4 MAE parity path, SURVEY.md §7 step 3);
+  * ``flax_to_torch``: export our TPU-trained weights as a .pth the reference's
+    own eval script can consume — the run-dir artifact contract keeps naming
+    ``best_model_{type}.pth`` etc., and the files really are torch-loadable.
+
+Layout mapping (the three transposes that make or break parity —
+SURVEY.md §2 "PyTorch semantics that matter"):
+
+  1. Conv kernels: torch OIHW -> flax HWIO (transpose 2,3,1,0).
+  2. BatchNorm: weight->scale, bias->bias, running_mean->mean,
+     running_var->var (torch stores the unbiased running variance; our
+     BatchNorm accumulates the same — see models/layers.py).
+  3. The first dense layer after the flatten: torch flattens NCHW as
+     (C, H, W); we flatten NHWC as (H, W, C). The torch kernel
+     (out, C*H*W) is reshaped to (out, C, H, W), transposed to
+     (H, W, C, out), and reshaped to (H*W*C, out). Other dense kernels
+     are a plain transpose.
+
+torch state_dict key schema (derived from the reference module trees):
+  single: conv_layers.{4k}.{weight,bias}  (Conv2d, k-th block)
+          conv_layers.{4k+1}.{weight,bias,running_mean,running_var}  (BN2d)
+          fc_layers.{1,5,9}.{weight,bias}  (Linear)  fc_layers.{2,6}.*  (BN1d)
+  double: {bleed,source}_branch.conv_blocks.{4k}/{4k+1}.*  (4 blocks each)
+          regression_head.fc_layers.{1,2,5,6,9}.*
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _conv_w(t: np.ndarray) -> np.ndarray:
+    return np.transpose(t, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _conv_w_inv(k: np.ndarray) -> np.ndarray:
+    return np.transpose(k, (3, 2, 0, 1))  # HWIO -> OIHW
+
+
+def _first_dense_w(t: np.ndarray, channels: int) -> np.ndarray:
+    """(out, C*H*W) torch kernel -> (H*W*C, out) flax kernel."""
+    out, flat = t.shape
+    hw = flat // channels
+    side = int(math.isqrt(hw))
+    if side * side != hw:
+        raise ValueError(f"non-square flatten: {flat} / {channels} channels")
+    return (
+        t.reshape(out, channels, side, side)
+        .transpose(2, 3, 1, 0)
+        .reshape(flat, out)
+    )
+
+
+def _first_dense_w_inv(k: np.ndarray, channels: int) -> np.ndarray:
+    flat, out = k.shape
+    hw = flat // channels
+    side = int(math.isqrt(hw))
+    return (
+        k.reshape(side, side, channels, out)
+        .transpose(3, 2, 0, 1)
+        .reshape(out, flat)
+    )
+
+
+def _dense_w(t: np.ndarray) -> np.ndarray:
+    return t.T
+
+
+def _structure(variant: str) -> Tuple[list, str]:
+    """-> ([(torch_conv_prefix, flax_branch_path)], torch_head_prefix)."""
+    if variant == "single":
+        return [("conv_layers", ())], "fc_layers"
+    if variant == "double":
+        return (
+            [
+                ("bleed_branch.conv_blocks", ("bleed_branch",)),
+                ("source_branch.conv_blocks", ("source_branch",)),
+            ],
+            "regression_head.fc_layers",
+        )
+    raise ValueError(f"unknown variant {variant!r}")
+
+
+def _count_torch_blocks(sd: dict, prefix: str) -> int:
+    """Blocks = Conv2d modules at Sequential indices 0, 4, 8, ..."""
+    n = 0
+    while f"{prefix}.{4 * n}.weight" in sd:
+        n += 1
+    if n == 0:
+        raise KeyError(f"no conv blocks found under {prefix!r}")
+    return n
+
+
+def _count_flax_blocks(tree: dict) -> int:
+    n = 0
+    while f"ConvBlock_{n}" in tree:
+        n += 1
+    if n == 0:
+        raise KeyError("no ConvBlock_* entries in params tree")
+    return n
+
+
+def _set(tree: dict, path: tuple, value) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def torch_to_flax(state_dict: Dict[str, np.ndarray], variant: str) -> dict:
+    """torch state_dict (tensors or ndarrays) -> flax variables
+    {'params': ..., 'batch_stats': ...}."""
+    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)()) for k, v in state_dict.items()}
+    branches, head = _structure(variant)
+    params: dict = {}
+    stats: dict = {}
+
+    flat_channels = 0
+    for torch_prefix, flax_branch in branches:
+        n_blocks = _count_torch_blocks(sd, torch_prefix)
+        for b in range(n_blocks):
+            conv, bn = f"{torch_prefix}.{4 * b}", f"{torch_prefix}.{4 * b + 1}"
+            block = flax_branch + (f"ConvBlock_{b}",)
+            _set(params, block + ("Conv_0", "kernel"), _conv_w(sd[f"{conv}.weight"]))
+            _set(params, block + ("Conv_0", "bias"), sd[f"{conv}.bias"])
+            _set(params, block + ("BatchNorm_0", "scale"), sd[f"{bn}.weight"])
+            _set(params, block + ("BatchNorm_0", "bias"), sd[f"{bn}.bias"])
+            _set(stats, block + ("BatchNorm_0", "mean"), sd[f"{bn}.running_mean"])
+            _set(stats, block + ("BatchNorm_0", "var"), sd[f"{bn}.running_var"])
+            if b == n_blocks - 1:
+                flat_channels += sd[f"{conv}.weight"].shape[0]
+
+    # Head: torch Sequential indices (1 Linear)(2 BN)(5 Linear)(6 BN)(9 Linear).
+    for i, (lin, bn) in enumerate([(1, 2), (5, 6)]):
+        block = (f"DenseBNBlock_{i}",)
+        w = sd[f"{head}.{lin}.weight"]
+        kernel = _first_dense_w(w, flat_channels) if i == 0 else _dense_w(w)
+        _set(params, block + ("Dense_0", "kernel"), kernel)
+        _set(params, block + ("Dense_0", "bias"), sd[f"{head}.{lin}.bias"])
+        _set(params, block + ("BatchNorm_0", "scale"), sd[f"{head}.{bn}.weight"])
+        _set(params, block + ("BatchNorm_0", "bias"), sd[f"{head}.{bn}.bias"])
+        _set(stats, block + ("BatchNorm_0", "mean"), sd[f"{head}.{bn}.running_mean"])
+        _set(stats, block + ("BatchNorm_0", "var"), sd[f"{head}.{bn}.running_var"])
+
+    _set(params, ("Dense_0", "kernel"), _dense_w(sd[f"{head}.9.weight"]))
+    _set(params, ("Dense_0", "bias"), sd[f"{head}.9.bias"])
+
+    import jax.numpy as jnp
+    import jax
+
+    as_f32 = lambda tree: jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), tree)
+    return {"params": as_f32(params), "batch_stats": as_f32(stats)}
+
+
+def _get(tree: dict, path: tuple):
+    node = tree
+    for key in path:
+        node = node[key]
+    return np.asarray(node)
+
+
+def flax_to_torch(variables: dict, variant: str) -> Dict[str, np.ndarray]:
+    """flax variables -> a torch-schema state_dict of float32 ndarrays
+    (pass to ``save_pth`` to write an actual .pth)."""
+    params, stats = variables["params"], variables["batch_stats"]
+    branches, head = _structure(variant)
+    sd: Dict[str, np.ndarray] = {}
+
+    flat_channels = 0
+    for torch_prefix, flax_branch in branches:
+        branch_tree = params
+        for key in flax_branch:
+            branch_tree = branch_tree[key]
+        n_blocks = _count_flax_blocks(branch_tree)
+        for b in range(n_blocks):
+            conv, bn = f"{torch_prefix}.{4 * b}", f"{torch_prefix}.{4 * b + 1}"
+            block = flax_branch + (f"ConvBlock_{b}",)
+            kernel = _get(params, block + ("Conv_0", "kernel"))
+            sd[f"{conv}.weight"] = _conv_w_inv(kernel)
+            sd[f"{conv}.bias"] = _get(params, block + ("Conv_0", "bias"))
+            sd[f"{bn}.weight"] = _get(params, block + ("BatchNorm_0", "scale"))
+            sd[f"{bn}.bias"] = _get(params, block + ("BatchNorm_0", "bias"))
+            sd[f"{bn}.running_mean"] = _get(stats, block + ("BatchNorm_0", "mean"))
+            sd[f"{bn}.running_var"] = _get(stats, block + ("BatchNorm_0", "var"))
+            sd[f"{bn}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+            if b == n_blocks - 1:
+                flat_channels += kernel.shape[-1]
+
+    for i, (lin, bn) in enumerate([(1, 2), (5, 6)]):
+        block = (f"DenseBNBlock_{i}",)
+        kernel = _get(params, block + ("Dense_0", "kernel"))
+        sd[f"{head}.{lin}.weight"] = (
+            _first_dense_w_inv(kernel, flat_channels) if i == 0 else kernel.T
+        )
+        sd[f"{head}.{lin}.bias"] = _get(params, block + ("Dense_0", "bias"))
+        sd[f"{head}.{bn}.weight"] = _get(params, block + ("BatchNorm_0", "scale"))
+        sd[f"{head}.{bn}.bias"] = _get(params, block + ("BatchNorm_0", "bias"))
+        sd[f"{head}.{bn}.running_mean"] = _get(stats, block + ("BatchNorm_0", "mean"))
+        sd[f"{head}.{bn}.running_var"] = _get(stats, block + ("BatchNorm_0", "var"))
+        sd[f"{head}.{bn}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+    sd[f"{head}.9.weight"] = _get(params, ("Dense_0", "kernel")).T
+    sd[f"{head}.9.bias"] = _get(params, ("Dense_0", "bias"))
+    return sd
+
+
+def load_pth(path: str, variant: str) -> dict:
+    """Read a reference .pth checkpoint into flax variables."""
+    import torch
+
+    state_dict = torch.load(path, map_location="cpu", weights_only=True)
+    return torch_to_flax(state_dict, variant)
+
+
+def save_pth(path: str, variables: dict, variant: str) -> None:
+    """Write flax variables as a torch-loadable .pth state_dict."""
+    import torch
+
+    sd = flax_to_torch(variables, variant)
+    torch.save(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path
+    )

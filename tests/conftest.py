@@ -8,12 +8,23 @@ This must happen before the first `import jax` anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override, not setdefault: the ambient
+# environment pins JAX_PLATFORMS to the TPU backend, and unit tests must not
+# funnel every compile through the (slow, single) real chip.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# Persistent compilation cache: in this environment every XLA compile pays a
+# fixed ~0.4s remote-compile round-trip (axon relay), so caching compiled
+# programs across test runs is a large win.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np
 import pytest

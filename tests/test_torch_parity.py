@@ -1,0 +1,148 @@
+"""Checkpoint-conversion + eval-mode numeric-parity tests.
+
+This is the parity-critical path (SURVEY.md §7 step 3 / hard part 1): a
+reference-schema .pth must load into the Flax models and produce the same
+eval-mode predictions to well under the 1e-4 MAE budget, and our exported
+.pth must load back into a torch model with identical outputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from crosstalk_tpu.config import ModelConfig
+from crosstalk_tpu.io.torch_convert import (
+    flax_to_torch,
+    load_pth,
+    save_pth,
+    torch_to_flax,
+)
+from crosstalk_tpu.models import build_model, count_params
+from tests.torch_ref import TorchDouble, TorchSingle, burn_in_batch_stats
+
+SMALL_SINGLE = dict(initial_filters=8, num_blocks=3, image_size=32)
+SMALL_DOUBLE = dict(filters_per_branch=4, image_size=64)
+
+
+def _flax_eval(model, variables, x_nhwc):
+    apply = jax.jit(lambda v, a: model.apply(v, a, train=False))
+    return np.asarray(apply(variables, jnp.asarray(x_nhwc)))
+
+
+def _torch_eval(tmodel, x_nhwc):
+    x = torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        return tmodel(x).numpy()
+
+
+def test_single_torch_to_flax_parity():
+    torch.manual_seed(7)
+    tmodel = burn_in_batch_stats(TorchSingle(**SMALL_SINGLE), 32)
+    variables = torch_to_flax(tmodel.state_dict(), "single")
+
+    cfg = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=3,
+                      compute_dtype="f32")
+    model = build_model(cfg)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 32, 32, 2)).astype(np.float32)
+    ours = _flax_eval(model, variables, x)
+    theirs = _torch_eval(tmodel, x)
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=0)
+    assert np.abs(ours - theirs).mean() < 1e-5  # MAE far inside the 1e-4 budget
+
+
+def test_double_torch_to_flax_parity():
+    torch.manual_seed(8)
+    tmodel = burn_in_batch_stats(TorchDouble(**SMALL_DOUBLE), 64)
+    variables = torch_to_flax(tmodel.state_dict(), "double")
+
+    cfg = ModelConfig(variant="double", initial_filters_per_branch=4,
+                      compute_dtype="f32")
+    model = build_model(cfg)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4, 64, 64, 2)).astype(np.float32)
+    ours = _flax_eval(model, variables, x)
+    theirs = _torch_eval(tmodel, x)
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=0)
+
+
+def test_roundtrip_flax_to_torch_to_flax():
+    """flax -> torch schema -> flax is exact; and the exported state_dict
+    strict-loads into a reference-schema torch module with equal outputs."""
+    torch.manual_seed(9)
+    tmodel = burn_in_batch_stats(TorchSingle(**SMALL_SINGLE), 32)
+    variables = torch_to_flax(tmodel.state_dict(), "single")
+
+    sd = flax_to_torch(variables, "single")
+    tmodel2 = TorchSingle(**SMALL_SINGLE)
+    tmodel2.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()})
+    tmodel2.eval()
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 32, 32, 2)).astype(np.float32)
+    np.testing.assert_allclose(_torch_eval(tmodel, x), _torch_eval(tmodel2, x),
+                               atol=1e-6)
+
+    back = torch_to_flax(sd, "single")
+    for tree_a, tree_b in ((variables["params"], back["params"]),
+                           (variables["batch_stats"], back["batch_stats"])):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            tree_a, tree_b)
+
+
+def test_pth_file_roundtrip(tmp_path):
+    torch.manual_seed(10)
+    tmodel = burn_in_batch_stats(TorchSingle(**SMALL_SINGLE), 32)
+    path = str(tmp_path / "model.pth")
+    torch.save(tmodel.state_dict(), path)
+
+    variables = load_pth(path, "single")
+    out_path = str(tmp_path / "exported.pth")
+    save_pth(out_path, variables, "single")
+
+    # the exported file loads with torch and strict-matches the schema
+    sd = torch.load(out_path, map_location="cpu", weights_only=True)
+    tmodel2 = TorchSingle(**SMALL_SINGLE)
+    tmodel2.load_state_dict(sd)  # strict=True by default
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 32, 32, 2)).astype(np.float32)
+    tmodel2.eval()
+    np.testing.assert_allclose(_torch_eval(tmodel, x), _torch_eval(tmodel2, x),
+                               atol=1e-6)
+
+
+def test_full_size_single_schema_and_shapes():
+    """Full instantiated config (128 filters / 6 blocks @ 256): the converted
+    tree must exactly match our init tree's structure and shapes, and the
+    torch param count must match the survey golden."""
+    tmodel = TorchSingle()  # defaults = instantiated config
+    n_torch = sum(p.numel() for p in tmodel.parameters())
+    assert n_torch == 12_823_937
+
+    variables = torch_to_flax(tmodel.state_dict(), "single")
+    model = build_model(ModelConfig(variant="single"))
+    ref = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.zeros((2, 256, 256, 2)), train=False)
+    )
+    assert count_params(variables["params"]) == 12_823_937
+
+    def same_structure(a, b):
+        ja = jax.tree_util.tree_structure(a)
+        jb = jax.tree_util.tree_structure(b)
+        assert ja == jb
+        jax.tree.map(lambda x, y: (x.shape == y.shape) or pytest.fail(
+            f"shape mismatch {x.shape} vs {y.shape}"), a, b)
+
+    same_structure(variables["params"], ref["params"])
+    same_structure(variables["batch_stats"], ref["batch_stats"])
+
+
+def test_full_size_double_param_count():
+    tmodel = TorchDouble()
+    assert sum(p.numel() for p in tmodel.parameters()) == 137_388_801
