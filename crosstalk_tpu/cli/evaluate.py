@@ -1,0 +1,124 @@
+"""Evaluation CLI — the reference's ``test-cross-talk-model.py`` surface
+(flags and defaults: test-cross-talk-model.py:228-242; behavior: 255-324).
+
+Runs single- or double-branch inference on every paired tile in the given
+directories using a ``.pth`` checkpoint, computes the five classical
+comparison metrics, and writes the ``eval_run_{ts}/`` artifact set
+(params.txt, model_architecture.txt, test_predictions_{ts}.csv, one scatter
+PNG per metric).
+
+TPU-native differences (documented, not silent):
+  * inference + metrics run as one jitted batched program on the accelerator
+    (the reference loops per-sample on CPU at batch size 1);
+  * every sample is evaluated — the reference's DataLoader(drop_last=True)
+    quirk is not reproduced (with its default batch 1 it never drops anyway);
+  * computation defaults to float32 with full MXU precision for checkpoint
+    parity; pass --compute_dtype bf16 for speed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Script for training with various parameters."
+    )
+    parser.add_argument(
+        "-m", "--mixed_channel_data_dir", type=str,
+        default="/nemo/stp/lm/working/barryd/IDR/crosstalk_training_data/bleed",
+        help="Directory for mixed channel data",
+    )
+    parser.add_argument(
+        "-s", "--pure_source_data_dir", type=str,
+        default="/nemo/stp/lm/working/barryd/IDR/crosstalk_training_data/source",
+        help="Directory for pure source data",
+    )
+    parser.add_argument(
+        "-p", "--model_path", type=str,
+        default=(
+            "/nemo/stp/lm/working/barryd/hpc/python/Torch-Unet/"
+            "training_run_2025-12-15_16-02-16_B256_LR0.0005/"
+            "crosstalk_regression_model_trained_2025-12-15_18-22-01_256_0.0005.pth"
+        ),
+        help="Path to pytorch model",
+    )
+    parser.add_argument("-j", "--cpu_jobs", type=int, default=20,
+                        help="Number of CPUs to use")
+    parser.add_argument("-o", "--model_options", type=str, default="single",
+                        help="Use single- or double-branch model",
+                        choices=["single", "double"])
+    # Extensions beyond the reference surface:
+    parser.add_argument("--compute_dtype", type=str, default="f32",
+                        choices=["f32", "bf16"],
+                        help="f32 = checkpoint-parity mode (default); "
+                             "bf16 = MXU-native fast mode")
+    parser.add_argument("--batch_size", type=int, default=64,
+                        help="Device batch size for inference")
+    parser.add_argument("--output_base", type=str, default=".",
+                        help="Where to create the eval_run_* directory")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from crosstalk_tpu.config import ModelConfig
+    from crosstalk_tpu.data.index import PairIndex
+    from crosstalk_tpu.data.pipeline import TileStore
+    from crosstalk_tpu.eval.engine import evaluate_and_save
+    from crosstalk_tpu.io import artifacts
+    from crosstalk_tpu.io.torch_convert import load_pth
+    from crosstalk_tpu.models import architecture_summary, build_model
+
+    device = jax.devices()[0]
+    print(f"Using device: {device.platform}:{device.device_kind}")
+
+    model_cfg = ModelConfig(
+        variant=args.model_options, compute_dtype=args.compute_dtype
+    )
+    model = build_model(model_cfg)
+
+    ts = artifacts.timestamp()
+    output_dir = artifacts.make_eval_run_dir(args.output_base, ts)
+    print(f"Saving all outputs to: {output_dir}")
+
+    artifacts.write_params_txt(output_dir, vars(args))
+    print(f"Parameters saved to {output_dir}/params.txt")
+
+    print("\nCreating dataset instances for initial file listing...")
+    try:
+        index = PairIndex(args.mixed_channel_data_dir, args.pure_source_data_dir)
+        print(f"Found {len(index)} matching samples.")
+    except (ValueError, FileNotFoundError) as e:
+        print(f"Error initializing temporary dataset: {e}")
+        return 1
+
+    print("\n--- Loading model weights ---")
+    try:
+        variables = load_pth(args.model_path, args.model_options)
+    except (FileNotFoundError, KeyError) as e:
+        print(f"Error loading model from {args.model_path}: {e}")
+        return 1
+    artifacts.write_architecture_txt(
+        output_dir, architecture_summary(model, variables)
+    )
+    print(f"Model architecture summary saved to {output_dir}/model_architecture.txt")
+
+    store = TileStore(index.samples, jobs=args.cpu_jobs)
+
+    print("\n--- Evaluating Model ---")
+    evaluate_and_save(
+        model, variables, store,
+        dataset_name="test", output_dir=output_dir, ts=ts,
+        batch_size=args.batch_size, with_metrics=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

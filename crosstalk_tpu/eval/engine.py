@@ -1,0 +1,135 @@
+"""Evaluation engine.
+
+One implementation, parameterized, replacing the reference's two copy-pasted
+``evaluate_and_save`` variants (train_model.py:27-93 predictions-only;
+test-cross-talk-model.py:25-121 predictions + classical metrics).
+
+TPU-first shape: inference AND the five classical metrics run as one jitted
+program over padded fixed-size batches; the host only formats CSV rows.
+(The reference runs inference at batch size 1 and computes each metric
+per-sample on the CPU — that loop dominates its eval wall time.)
+
+The reference divides its final loss by ``len(dataset)`` even when
+``drop_last`` discarded samples (train_model.py:60, 445); we evaluate every
+sample via pad-and-mask and divide by the number actually evaluated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crosstalk_tpu.data.pipeline import Batch, TileStore, device_prefetch, iterate_batches
+from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+from crosstalk_tpu.ops.metrics import classical_metrics
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "with_metrics"))
+def _eval_step(apply_fn, variables, inputs, labels, mask, with_metrics: bool):
+    """Normalize -> forward -> per-sample squared error (+ metrics)."""
+    batch = normalize_batch_nhwc(inputs)
+    preds = apply_fn(variables, batch)
+    sq_err = jnp.square(preds - labels)[:, 0] * mask
+    out = {"preds": preds[:, 0], "sq_err": sq_err}
+    if with_metrics:
+        out.update(classical_metrics(batch))
+    return out
+
+
+def evaluate(
+    model,
+    variables,
+    store: TileStore,
+    batch_size: int = 64,
+    with_metrics: bool = True,
+) -> Tuple[List[Dict], float]:
+    """-> (per-sample rows in dataset order, mean MSE loss).
+
+    Row schema matches the reference CSVs: the 8-column eval schema when
+    ``with_metrics`` (test-cross-talk-model.py:39-41), else the 2-column
+    train-side schema (train_model.py:68). Values are kept as float32
+    scalars so CSV text matches the reference's numpy-repr formatting.
+    """
+    apply_fn = lambda v, x: model.apply(v, x, train=False)
+
+    rows: List[Dict] = []
+    total_sq_err = 0.0
+    total_n = 0
+    batch_size = min(batch_size, max(1, len(store)))
+
+    for batch in device_prefetch(iterate_batches(store, batch_size)):
+        out = _eval_step(
+            apply_fn, variables, batch.inputs, batch.labels, batch.mask, with_metrics
+        )
+        out = {k: np.asarray(v) for k, v in out.items()}
+        mask = np.asarray(batch.mask)
+        labels = np.asarray(batch.labels)[:, 0]
+        ids = np.asarray(batch.ids)
+        real = int(mask.sum())
+        total_sq_err += float(out["sq_err"].sum())
+        total_n += real
+        for j in range(real):
+            row = {
+                "Actual_Label": np.float32(labels[j]),
+                "Predicted_Label": np.float32(out["preds"][j]),
+            }
+            if with_metrics:
+                row = {
+                    "Image_ID": int(ids[j]),
+                    **row,
+                    "Root Mean Squared Error": np.float32(out["Root Mean Squared Error"][j]),
+                    "Structural Similarity Index": np.float32(out["Structural Similarity Index"][j]),
+                    "Histogram Correlation": np.float32(out["Histogram Correlation"][j]),
+                    "Normalized Mutual Information": np.float32(out["Normalized Mutual Information"][j]),
+                    "Pearsons Correlation": np.float32(out["Pearsons Correlation"][j]),
+                }
+            rows.append(row)
+
+    loss = total_sq_err / max(total_n, 1)
+    return rows, loss
+
+
+def evaluate_and_save(
+    model,
+    variables,
+    store: TileStore,
+    dataset_name: str,
+    output_dir: str,
+    ts: str,
+    batch_size: int = 64,
+    with_metrics: bool = True,
+    train_suffix: Optional[str] = None,
+) -> float:
+    """Full reference behavior: evaluate, write the predictions CSV, and
+    render the plot(s). ``train_suffix`` ('{ts}_{bs}_{lr}') selects the
+    train-side filename scheme (train_model.py:64-65); otherwise the
+    eval-side scheme '{split}_predictions_{ts}.csv' is used."""
+    import os
+
+    from crosstalk_tpu.io import artifacts
+
+    rows, loss = evaluate(model, variables, store, batch_size, with_metrics)
+    print(f"Final {dataset_name.capitalize()} Loss: {loss:.6f}")
+
+    if train_suffix is not None:
+        csv_name = f"{dataset_name}_predictions_{train_suffix}.csv"
+    else:
+        csv_name = f"{dataset_name}_predictions_{ts}.csv"
+    fieldnames = artifacts.EVAL_FIELDNAMES if with_metrics else artifacts.TRAIN_FIELDNAMES
+    artifacts.write_predictions_csv(os.path.join(output_dir, csv_name), rows, fieldnames)
+
+    if rows:
+        if with_metrics:
+            artifacts.plot_metric_scatters(output_dir, rows, dataset_name, ts)
+        else:
+            artifacts.plot_predictions_scatter(
+                output_dir,
+                rows,
+                dataset_name,
+                f"{dataset_name}_predictions_plot_{train_suffix}.png",
+            )
+    return loss

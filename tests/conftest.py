@@ -1,30 +1,21 @@
 """Test configuration.
 
-Tests run on CPU with 8 virtual XLA devices so the data-parallel mesh path is
-exercised exactly the way a v5e-8 slice would be, without TPU hardware (the
-standard JAX technique: --xla_force_host_platform_device_count).
-This must happen before the first `import jax` anywhere in the test process.
+Two environment quirks are handled here, both before anything imports jax:
+
+1. The ambient environment routes EVERY XLA compilation — including for the
+   CPU backend — through the axon remote-compile relay (~50x slower per
+   program). Unit tests are CPU-only by design, so pytest re-execs itself
+   once with the axon site hooks stripped from PYTHONPATH (the re-exec
+   happens in pytest_configure, after stopping output capture so the child's
+   output reaches the real stdout).
+
+2. Tests run on CPU with 8 virtual XLA devices so the data-parallel mesh path
+   is exercised exactly the way a v5e-8 slice would be, without TPU hardware
+   (the standard JAX technique: --xla_force_host_platform_device_count).
 """
 
 import os
-
-os.environ["JAX_PLATFORMS"] = "cpu"  # override, not setdefault: the ambient
-# environment pins JAX_PLATFORMS to the TPU backend, and unit tests must not
-# funnel every compile through the (slow, single) real chip.
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax
-
-# Persistent compilation cache: in this environment every XLA compile pays a
-# fixed ~0.4s remote-compile round-trip (axon relay), so caching compiled
-# programs across test runs is a large win.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+import sys
 
 import numpy as np
 import pytest
@@ -32,6 +23,47 @@ import pytest
 from crosstalk_tpu.data.tiff import write_tile
 
 REFERENCE_DATA = "/root/reference/Training_Data"
+
+
+def _needs_reexec() -> bool:
+    return "axon" in os.environ.get("PYTHONPATH", "") and not os.environ.get(
+        "CROSSTALK_TEST_REEXEC"
+    )
+
+
+def pytest_configure(config):
+    if _needs_reexec():
+        capman = config.pluginmanager.getplugin("capturemanager")
+        if capman is not None:
+            capman.stop_global_capturing()  # restore the real stdout fds
+        env = dict(os.environ)
+        env["PYTHONPATH"] = ":".join(
+            p for p in env.get("PYTHONPATH", "").split(":") if p and "axon" not in p
+        )
+        env["JAX_PLATFORMS"] = "cpu"
+        env["CROSSTALK_TEST_REEXEC"] = "1"
+        flags = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        os.execve(
+            sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env
+        )
+
+    # (re-exec'd or axon-free environment from here on)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    # Persistent compilation cache keeps repeat runs fast.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,104 @@
+"""End-to-end eval-CLI test: runs the reference-compatible evaluation entry
+point against a synthetic dataset + torch checkpoint and checks the full
+artifact contract (eval_run_* layout, CSV schema, prediction parity).
+"""
+
+import csv
+import glob
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from crosstalk_tpu.cli.evaluate import main as eval_main
+from crosstalk_tpu.io.artifacts import EVAL_FIELDNAMES
+from tests.conftest import make_synthetic_dataset
+from tests.torch_ref import TorchSingle, burn_in_batch_stats
+
+
+@pytest.fixture(scope="module")
+def cli_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    mixed_dir, source_dir = make_synthetic_dataset(str(root), n=10, size=64)
+    torch.manual_seed(3)
+    tmodel = TorchSingle(image_size=64)  # full instantiated width, 64px tiles
+    burn_in_batch_stats(tmodel, 64, steps=2)
+    ckpt = str(root / "model.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+    return root, mixed_dir, source_dir, ckpt, tmodel
+
+
+def test_eval_cli_end_to_end(cli_setup):
+    root, mixed_dir, source_dir, ckpt, tmodel = cli_setup
+    out_base = str(root / "out")
+    rc = eval_main([
+        "-m", mixed_dir, "-s", source_dir, "-p", ckpt, "-j", "2", "-o", "single",
+        "--output_base", out_base, "--batch_size", "4",
+    ])
+    assert rc == 0
+
+    run_dirs = glob.glob(os.path.join(out_base, "eval_run_*"))
+    assert len(run_dirs) == 1
+    run_dir = run_dirs[0]
+
+    assert os.path.exists(os.path.join(run_dir, "params.txt"))
+    assert os.path.exists(os.path.join(run_dir, "model_architecture.txt"))
+
+    csvs = glob.glob(os.path.join(run_dir, "test_predictions_*.csv"))
+    assert len(csvs) == 1
+    with open(csvs[0]) as f:
+        rows = list(csv.DictReader(f))
+    assert list(rows[0].keys()) == EVAL_FIELDNAMES
+    assert len(rows) == 10
+
+    # one scatter PNG per metric column (test-cross-talk-model.py:103-121)
+    pngs = glob.glob(os.path.join(run_dir, "test_*_plot_*.png"))
+    assert len(pngs) == len(EVAL_FIELDNAMES) - 2
+
+    # params.txt format: '{arg}: {value}' lines
+    with open(os.path.join(run_dir, "params.txt")) as f:
+        lines = f.read().splitlines()
+    assert any(line.startswith("model_options: single") for line in lines)
+
+    # prediction parity vs the torch model itself
+    from crosstalk_tpu.data.index import PairIndex
+    from crosstalk_tpu.data.pipeline import TileStore
+
+    index = PairIndex(mixed_dir, source_dir)
+    store = TileStore(index.samples, jobs=1)
+    tiles = np.asarray(store.tiles)
+    lo = tiles.min(axis=(1, 2), keepdims=True)
+    hi = tiles.max(axis=(1, 2), keepdims=True)
+    batch = (tiles - lo) / (hi - lo)
+    with torch.no_grad():
+        golden = tmodel(torch.from_numpy(batch.transpose(0, 3, 1, 2))).numpy().ravel()
+
+    by_id = {int(s.image_id): g for s, g in zip(index.samples, golden)}
+    for row in rows:
+        assert abs(float(row["Predicted_Label"]) - by_id[int(row["Image_ID"])]) < 1e-4
+        for field in EVAL_FIELDNAMES[3:]:
+            assert np.isfinite(float(row[field]))
+
+
+def test_eval_cli_missing_checkpoint(cli_setup, capsys):
+    root, mixed_dir, source_dir, _, _ = cli_setup
+    rc = eval_main([
+        "-m", mixed_dir, "-s", source_dir, "-p", "/nope/missing.pth",
+        "-o", "single", "--output_base", str(root / "out2"),
+    ])
+    assert rc == 1
+    assert "Error loading model" in capsys.readouterr().out
+
+
+def test_eval_cli_empty_dataset(tmp_path, cli_setup, capsys):
+    _, _, _, ckpt, _ = cli_setup
+    (tmp_path / "Mixed").mkdir()
+    (tmp_path / "Source").mkdir()
+    rc = eval_main([
+        "-m", str(tmp_path / "Mixed"), "-s", str(tmp_path / "Source"),
+        "-p", ckpt, "-o", "single", "--output_base", str(tmp_path),
+    ])
+    assert rc == 1
+    assert "Error initializing" in capsys.readouterr().out
