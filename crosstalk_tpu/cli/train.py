@@ -1,0 +1,216 @@
+"""Training CLI — the reference's ``train_model.py`` surface (flags and
+defaults: train_model.py:495-513; behavior: 515-677).
+
+Discovers paired tiles, splits 70/15/15 with the reference's exact seeded
+permutation, trains with the selected scheduler, and writes the complete
+``training_run_{ts}_B{bs}_LR{lr}/`` artifact set: params.txt,
+model_architecture.txt, training_log CSV, best_model .pth (torch-loadable),
+final .pth, loss/LR plots, per-split prediction CSVs + scatter plots —
+`analyse_training_results.py` consumes these unchanged.
+
+TPU-native extensions beyond the reference surface: --compute_dtype,
+--output_base, --resume (full native checkpoint resume), --num_devices
+(data-parallel mesh; default = all visible devices).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Script for training with various parameters."
+    )
+    parser.add_argument("-m", "--mixed_channel_data_dir", type=str,
+                        default="./Training_Data/Mixed",
+                        help="Directory for mixed channel data")
+    parser.add_argument("-s", "--pure_source_data_dir", type=str,
+                        default="./Training_Data/Source",
+                        help="Directory for pure source data")
+    parser.add_argument("-b", "--batch_size", type=int, default=256,
+                        help="Batch size for training")
+    parser.add_argument("-l", "--learning_rate", type=float, default=1e-4,
+                        help="Learning rate for training")
+    parser.add_argument("-n", "--num_epochs", type=int, default=50,
+                        help="Number of epochs for training")
+    parser.add_argument("-t", "--train_ratio", type=float, default=0.7,
+                        help="Training data ratio")
+    parser.add_argument("-v", "--val_ratio", type=float, default=0.15,
+                        help="Validation data ratio")
+    parser.add_argument("-j", "--cpu_jobs", type=int, default=1,
+                        help="Number of CPUs to use")
+    parser.add_argument("-o", "--model_options", type=str, default="single",
+                        help="Use single- or double-branch model",
+                        choices=["single", "double"])
+    parser.add_argument("-r", "--learning_scheduler", type=str,
+                        default="aggressive_plateau",
+                        help="Use aggressive_plateau, onecycle or cosine_warmup "
+                             "learning scheduler",
+                        choices=["aggressive_plateau", "onecycle", "cosine_warmup"])
+    # Extensions beyond the reference surface:
+    parser.add_argument("--compute_dtype", type=str, default="bf16",
+                        choices=["bf16", "f32"],
+                        help="Conv/matmul compute dtype (bf16 = MXU-native)")
+    parser.add_argument("--output_base", type=str, default=".",
+                        help="Where to create the training_run_* directory")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Existing training_run_* directory to resume from")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="Data-parallel device count (default: all)")
+    parser.add_argument("--seed", type=int, default=43,
+                        help="Split/augmentation seed (reference: 43)")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from crosstalk_tpu.config import ModelConfig, OptimConfig, TrainConfig
+    from crosstalk_tpu.data.index import PairIndex, split_samples
+    from crosstalk_tpu.data.pipeline import TileStore
+    from crosstalk_tpu.eval.engine import evaluate_and_save
+    from crosstalk_tpu.io import artifacts
+    from crosstalk_tpu.io.torch_convert import load_pth, save_pth
+    from crosstalk_tpu.models import architecture_summary, build_model, init_model
+    from crosstalk_tpu.parallel.mesh import data_mesh
+    from crosstalk_tpu.train.loop import train_model
+    from crosstalk_tpu.train.steps import init_train_state, make_optimizer
+
+    devices = jax.devices()
+    n_dev = args.num_devices or len(devices)
+    print(f"Using device: {devices[0].platform} x{n_dev} ({devices[0].device_kind})")
+
+    if not (abs(args.train_ratio + args.val_ratio) < 1.0):
+        print("Warning: Sum of TRAIN_RATIO, VAL_RATIO, TEST_RATIO does not equal 1.0.")
+
+    mesh = data_mesh(n_dev) if n_dev > 1 else None
+    model_cfg = ModelConfig(variant=args.model_options,
+                            compute_dtype=args.compute_dtype)
+    model = build_model(model_cfg, axis_name="data" if mesh else None)
+    # Evaluation (BN in eval mode, no collectives) uses an axis-free twin so
+    # it can run outside the shard_mapped step.
+    eval_model = build_model(model_cfg)
+    print(f"Using {args.cpu_jobs} cpu workers.")
+
+    if args.resume:
+        run_dir = args.resume
+        import re
+
+        m = re.search(r"training_run_(.*)_B\d+_LR", run_dir)
+        ts = m.group(1) if m else artifacts.timestamp()
+        print(f"Resuming run in: {run_dir}")
+    else:
+        ts = artifacts.timestamp()
+        run_dir = artifacts.make_training_run_dir(
+            args.output_base, ts, args.batch_size, args.learning_rate
+        )
+    print(f"Saving all outputs to: {run_dir}")
+
+    artifacts.write_params_txt(run_dir, vars(args))
+    print(f"Parameters saved to {run_dir}/params.txt")
+
+    print("\nCreating dataset instances for initial file listing...")
+    try:
+        index = PairIndex(args.mixed_channel_data_dir, args.pure_source_data_dir)
+        print(f"Found {len(index)} matching samples.")
+        print(f"Total samples found in directories: {len(index)}")
+    except (ValueError, FileNotFoundError) as e:
+        print(f"Error initializing temporary dataset: {e}")
+        return 1
+
+    print("\nSplitting data using filename lists for correct augmentation application...")
+    train_samples, val_samples, test_samples = split_samples(
+        index.samples, args.train_ratio, args.val_ratio, seed=args.seed
+    )
+    print(
+        f"Split sizes: Train = {len(train_samples)}, "
+        f"Validation = {len(val_samples)}, Test = {len(test_samples)}"
+    )
+
+    batch_size = args.batch_size
+    if batch_size > len(train_samples):
+        batch_size = max((len(train_samples) // max(n_dev, 1)) * max(n_dev, 1), 1)
+        print(
+            f"Warning: batch size {args.batch_size} exceeds the training split "
+            f"({len(train_samples)} samples); clamping to {batch_size}."
+        )
+    if mesh is not None and batch_size % n_dev != 0:
+        batch_size = (batch_size // n_dev) * n_dev
+        print(f"Warning: batch size rounded to {batch_size} "
+              f"(must divide across {n_dev} devices).")
+
+    stores = {}
+    for name, samples in (
+        ("train", train_samples), ("val", val_samples), ("test", test_samples)
+    ):
+        if not samples:
+            print("Error: SplitCrosstalkDataset received no samples.")
+            return 1
+        stores[name] = TileStore(samples, jobs=args.cpu_jobs)
+        print(f"SplitCrosstalkDataset created with {len(samples)} samples.")
+    print("Dataloaders created for training, validation, and testing.")
+
+    optim_cfg = OptimConfig(
+        learning_rate=args.learning_rate, scheduler=args.learning_scheduler
+    )
+    train_cfg = TrainConfig(
+        batch_size=batch_size, num_epochs=args.num_epochs,
+        output_base=args.output_base, resume=args.resume,
+    )
+
+    tx = make_optimizer(optim_cfg)
+    image_size = int(stores["train"].tiles.shape[1])  # size the head from data
+    variables = init_model(model, jax.random.key(args.seed), image_size=image_size)
+    artifacts.write_architecture_txt(run_dir, architecture_summary(model, variables))
+    print(f"Model architecture summary saved to {run_dir}/model_architecture.txt")
+    state = init_train_state(model, variables, tx)
+
+    print("\nStarting training with validation...")
+    state, train_losses, val_losses = train_model(
+        model, state, stores["train"], stores["val"],
+        optim_cfg, train_cfg, run_dir, ts, args.model_options, tx,
+        mesh=mesh, seed=args.seed, resume=bool(args.resume),
+    )
+    print("Training finished!")
+
+    # final .pth with a fresh timestamp (train_model.py:644-648)
+    ts2 = artifacts.timestamp()
+    final_path = (
+        f"{run_dir}/crosstalk_regression_model_trained_{ts2}_"
+        f"{batch_size}_{args.learning_rate}.pth"
+    )
+    save_pth(
+        final_path,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        args.model_options,
+    )
+    print(f"Trained model weights saved to {final_path}")
+
+    artifacts.plot_loss_curves(
+        run_dir, train_losses, val_losses, ts2, batch_size, args.learning_rate
+    )
+    print("Training and validation loss plot saved")
+
+    # Reload from the saved .pth into fresh variables before evaluation —
+    # the reference's implicit serialization round-trip check
+    # (train_model.py:666-673).
+    print("\n--- Evaluating Model ---")
+    loaded = load_pth(final_path, args.model_options)
+    suffix = f"{ts2}_{batch_size}_{args.learning_rate}"
+    for split in ("test", "train", "val"):
+        print(f"\n--- Evaluating Model on {split.capitalize()} Set ---")
+        evaluate_and_save(
+            eval_model, loaded, stores[split],
+            dataset_name=split, output_dir=run_dir, ts=ts2,
+            batch_size=min(batch_size, 256),
+            with_metrics=False, train_suffix=suffix,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

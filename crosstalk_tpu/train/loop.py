@@ -1,0 +1,199 @@
+"""Training loop.
+
+Capability match for the reference's ``train_model()`` (train_model.py:
+325-491): scheduler registry, per-epoch train/val passes, best-val .pth
+checkpointing, early stopping, CSV logging, LR plotting — rebuilt around a
+single donated jitted step (train/steps.py) with async dispatch: the host
+enqueues every step of an epoch without blocking (losses stay on device and
+are materialized once per epoch), so host latency never gates the chip.
+
+Documented divergences from the reference:
+  * train/val losses are divided by the number of samples actually evaluated;
+    the reference divides by the full split size even when drop_last discarded
+    a tail batch (train_model.py:432,445) or — for small datasets — entire
+    eval splits (SURVEY.md §2 "known defects").
+  * validation evaluates every sample via pad-and-mask instead of
+    drop_last=True.
+  * every epoch writes a full native resume checkpoint (params + optimizer +
+    scheduler + RNG), which the reference lacks entirely.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from crosstalk_tpu.config import OptimConfig, TrainConfig
+from crosstalk_tpu.data.pipeline import TileStore, device_prefetch, iterate_batches
+from crosstalk_tpu.io import artifacts, checkpoint
+from crosstalk_tpu.io.torch_convert import save_pth
+from crosstalk_tpu.train.schedules import Schedule
+from crosstalk_tpu.train.steps import (
+    TrainState,
+    batch_sharding,
+    make_train_step,
+    make_val_step,
+    replicate_state,
+)
+
+
+def train_model(
+    model,
+    state: TrainState,
+    train_store: TileStore,
+    val_store: TileStore,
+    optim_cfg: OptimConfig,
+    train_cfg: TrainConfig,
+    run_dir: str,
+    ts: str,
+    model_variant: str,
+    tx,
+    mesh=None,
+    seed: int = 43,
+    resume: bool = False,
+) -> Tuple[TrainState, List[float], List[float]]:
+    """Run the full training schedule; returns (state, train_losses, val_losses)."""
+    batch_size = train_cfg.batch_size
+    steps_per_epoch = len(train_store) // batch_size
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"training split ({len(train_store)} samples) is smaller than the "
+            f"batch size ({batch_size}); lower -b"
+        )
+    if len(val_store) == 0:
+        raise ValueError("SplitCrosstalkDataset received no samples.")
+
+    schedule = Schedule(optim_cfg, train_cfg.num_epochs, steps_per_epoch)
+    train_step = make_train_step(model, tx, mesh=mesh)
+    val_step = make_val_step(model, mesh=mesh)
+    sharding = batch_sharding(mesh)
+    state = replicate_state(state, mesh)
+
+    train_losses: List[float] = []
+    val_losses: List[float] = []
+    lr_history: List[float] = []
+    best_val_loss = float("inf")
+    epochs_without_improvement = 0
+    start_epoch = 0
+    global_step = 0
+    root_key = jax.random.key(seed)
+
+    if resume:
+        restored = checkpoint.load_checkpoint(run_dir, state)
+        if restored is not None:
+            state, meta = restored
+            state = replicate_state(state, mesh)
+            start_epoch = meta["epoch"]
+            global_step = meta["global_step"]
+            best_val_loss = meta["best_val_loss"]
+            epochs_without_improvement = meta["epochs_without_improvement"]
+            train_losses = list(meta["train_losses"])
+            val_losses = list(meta["val_losses"])
+            lr_history = list(meta["lr_history"])
+            schedule.load_state_dict(meta["schedule"])
+            print(f"Resumed from epoch {start_epoch} (best val {best_val_loss:.6f})")
+
+    log = artifacts.TrainingLog(
+        run_dir, ts, batch_size, optim_cfg.learning_rate,
+        schedule.scheduler_type, schedule.params_dict,
+    )
+
+    for epoch in range(start_epoch, train_cfg.num_epochs):
+        lr_history.append(schedule.lr_for_step(global_step))
+        epoch_t0 = time.perf_counter()
+
+        # ---- train pass: dispatch every step async, block once at the end
+        step_losses = []
+        for batch in device_prefetch(
+            iterate_batches(
+                train_store, batch_size, shuffle=True,
+                drop_last=True, seed=seed, epoch=epoch,
+            ),
+            sharding=sharding,
+        ):
+            lr = schedule.lr_for_step(global_step)
+            rng = jax.random.fold_in(root_key, global_step)
+            state, loss = train_step(
+                state, batch.inputs, batch.labels,
+                np.float32(lr), rng,
+            )
+            step_losses.append(loss)
+            global_step += 1
+        train_loss = float(np.mean([np.asarray(l) for l in step_losses]))
+        train_losses.append(train_loss)
+
+        # ---- validation pass (pad-and-mask, every sample)
+        sq_sum, count = 0.0, 0.0
+        # same batch size as training: iterate_batches pads the tail (and
+        # small splits) with masked samples, keeping mesh divisibility
+        for batch in device_prefetch(
+            iterate_batches(val_store, batch_size), sharding=sharding
+        ):
+            s, c = val_step(
+                state.params, state.batch_stats,
+                batch.inputs, batch.labels, batch.mask,
+            )
+            sq_sum += float(s)
+            count += float(c)
+        val_loss = sq_sum / max(count, 1.0)
+        val_losses.append(val_loss)
+
+        schedule.on_epoch_end(val_loss)
+
+        # ---- best-model checkpoint (.pth for reference interop,
+        #      train_model.py:456-461)
+        if val_loss < best_val_loss:
+            best_val_loss = val_loss
+            epochs_without_improvement = 0
+            best_path = f"{run_dir}/best_model_{schedule.scheduler_type}.pth"
+            save_pth(
+                best_path,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                model_variant,
+            )
+        else:
+            epochs_without_improvement += 1
+
+        current_lr = schedule.lr_for_step(global_step)
+        dt = time.perf_counter() - epoch_t0
+        tiles_per_sec = steps_per_epoch * batch_size / dt
+        print(
+            f"Epoch [{epoch + 1}/{train_cfg.num_epochs}] | "
+            f"Train Loss: {train_loss:.6f} | Val Loss: {val_loss:.6f} | "
+            f"LR: {current_lr:.2e} | {tiles_per_sec:,.0f} tiles/s"
+        )
+        log.log_epoch(epoch + 1, train_loss, val_loss, current_lr)
+
+        # ---- native resume checkpoint (every epoch)
+        checkpoint.save_checkpoint(
+            run_dir,
+            state,
+            {
+                "epoch": epoch + 1,
+                "global_step": global_step,
+                "best_val_loss": best_val_loss,
+                "epochs_without_improvement": epochs_without_improvement,
+                "train_losses": train_losses,
+                "val_losses": val_losses,
+                "lr_history": lr_history,
+                "schedule": schedule.state_dict(),
+            },
+        )
+
+        if epochs_without_improvement >= schedule.early_stop_patience:
+            print(
+                f"Early stopping triggered after {epoch + 1} epochs "
+                f"(no improvement for {schedule.early_stop_patience} epochs)"
+            )
+            break
+
+    log.close()
+    artifacts.plot_lr_schedule(run_dir, lr_history, schedule.scheduler_type)
+    print(
+        f"Learning rate schedule plot saved to "
+        f"{run_dir}/lr_schedule_{schedule.scheduler_type}.png"
+    )
+    return state, train_losses, val_losses

@@ -1,0 +1,171 @@
+"""Jitted train / validation step functions, single-chip and data-parallel.
+
+The reference's inner loop is zero_grad -> forward -> MSE -> backward -> step
+on one device (train_model.py:419-424). Here the whole step — on-device
+normalize + paired-flip augmentation, forward with batch-stat updates,
+gradient, Adam update — is ONE compiled XLA program, with the learning rate
+passed as a traced scalar so host-side schedules never trigger recompilation.
+The train state is donated to the step, so parameter/optimizer buffers are
+updated in place in HBM.
+
+Data parallelism (SURVEY.md §5, BASELINE config #5) is `shard_map` over a
+1-axis 'data' mesh: the batch is sharded across devices, parameters are
+replicated, gradients and the loss are `pmean`-reduced over ICI, and
+BatchNorm batch statistics are psum-synced inside the model (the model must
+be built with axis_name='data'; see models/layers.py), so an N-chip step is
+bitwise-equivalent in expectation to a 1-chip step on the global batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from crosstalk_tpu.config import OptimConfig
+from crosstalk_tpu.data.transforms import normalize_batch_nhwc, paired_random_flips
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) equivalence: L2 is coupled into the
+    gradient BEFORE the Adam moments (train_model.py:637 — this is Adam+L2,
+    not AdamW), and the returned update is the *unscaled* Adam direction —
+    the step applies ``params -= lr * update`` with the schedule's lr."""
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps),
+    )
+
+
+def init_train_state(model, variables, tx) -> TrainState:
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _train_core(model, tx, axis_name: Optional[str]):
+    """The per-shard training step body."""
+
+    def step_fn(state: TrainState, inputs, labels, lr, rng):
+        if axis_name is not None:
+            # decorrelate augmentation/dropout across shards
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        aug_rng, dropout_rng = jax.random.split(rng)
+        batch = paired_random_flips(aug_rng, normalize_batch_nhwc(inputs))
+
+        def loss_fn(params):
+            preds, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            loss = jnp.mean(jnp.square(preds - labels))
+            return loss, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: (p - lr * u).astype(p.dtype), state.params, updates
+        )
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, loss
+
+    return step_fn
+
+
+def _val_core(model, axis_name: Optional[str]):
+    """Masked validation body -> (sq_err_sum, count)."""
+
+    def step_fn(params, batch_stats, inputs, labels, mask):
+        batch = normalize_batch_nhwc(inputs)
+        preds = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch, train=False
+        )
+        sq_err = jnp.sum(jnp.square(preds - labels)[:, 0] * mask)
+        count = jnp.sum(mask)
+        if axis_name is not None:
+            sq_err = jax.lax.psum(sq_err, axis_name)
+            count = jax.lax.psum(count, axis_name)
+        return sq_err, count
+
+    return step_fn
+
+
+def make_train_step(model, tx, mesh=None, axis_name: str = "data"):
+    """-> jitted fn(state, inputs, labels, lr, rng) -> (state, loss).
+
+    With a mesh, the function is shard_mapped over it: call it with the
+    batch sharded P(axis_name) on dim 0 (see ``batch_sharding``) and the
+    state replicated. The state argument is donated.
+    """
+    if mesh is None:
+        core = _train_core(model, tx, axis_name=None)
+        return jax.jit(core, donate_argnums=0)
+
+    core = _train_core(model, tx, axis_name=axis_name)
+    mapped = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=0)
+
+
+def make_val_step(model, mesh=None, axis_name: str = "data"):
+    """-> jitted fn(params, batch_stats, inputs, labels, mask)
+    -> (sq_err_sum, count)."""
+    if mesh is None:
+        return jax.jit(_val_core(model, axis_name=None))
+    mapped = jax.shard_map(
+        _val_core(model, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def batch_sharding(mesh, axis_name: str = "data"):
+    """NamedSharding for host batches: dim 0 split across the data axis."""
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicate_state(state: TrainState, mesh) -> TrainState:
+    """Place a train state fully-replicated on the mesh."""
+    if mesh is None:
+        return state
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(state, sharding)

@@ -1,0 +1,218 @@
+"""Training-engine tests: optimizer parity with torch Adam, single- and
+multi-device steps, and the end-to-end train CLI with its artifact contract
+(the reference's implicit round-trip + our smoke-train strategy, SURVEY.md §4).
+"""
+
+import csv
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from crosstalk_tpu.config import ModelConfig, OptimConfig
+from crosstalk_tpu.models import build_model, init_model
+from crosstalk_tpu.train.steps import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    make_val_step,
+)
+from tests.conftest import make_synthetic_dataset
+
+SMALL = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=3,
+                    compute_dtype="f32")
+
+
+def test_optimizer_matches_torch_adam():
+    """optax chain(add_decayed_weights, scale_by_adam) applied as
+    p -= lr*u must track torch.optim.Adam(lr, weight_decay) exactly."""
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(4, 3)).astype(np.float32)
+    grads = [rng.normal(size=(4, 3)).astype(np.float32) for _ in range(5)]
+    lr, wd = 1e-3, 1e-4
+
+    tp = torch.nn.Parameter(torch.tensor(p0.copy()))
+    topt = torch.optim.Adam([tp], lr=lr, weight_decay=wd)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.tensor(g.copy())
+        topt.step()
+
+    cfg = OptimConfig(learning_rate=lr, weight_decay=wd)
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.asarray(p0)}
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+        params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tp.detach().numpy(), atol=1e-6
+    )
+
+
+def _make_state(model, seed=0, image=32):
+    variables = init_model(model, jax.random.key(seed), image_size=image)
+    tx = make_optimizer(OptimConfig())
+    return init_train_state(model, variables, tx), tx
+
+
+def test_single_device_train_step_learns():
+    model = build_model(SMALL)
+    state, tx = _make_state(model)
+    step = make_train_step(model, tx)
+    rng = np.random.default_rng(1)
+    base = rng.random((8, 32, 32, 1)).astype(np.float32)
+    alpha = rng.uniform(0.0, 0.5, size=(8, 1)).astype(np.float32)
+    mixed = rng.random((8, 32, 32, 1)).astype(np.float32) + alpha[:, :, None, None] * base
+    inputs = np.concatenate([mixed, base], axis=-1)
+
+    losses = []
+    for i in range(30):
+        state, loss = step(state, jnp.asarray(inputs), jnp.asarray(alpha),
+                           np.float32(1e-3), jax.random.key(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5  # it learns the toy mapping
+    assert int(state.step) == 30
+
+
+def test_multi_device_train_step():
+    """The shard_mapped 8-device step runs, reduces, and keeps the state
+    replicated and consistent."""
+    from crosstalk_tpu.parallel.mesh import data_mesh
+    from crosstalk_tpu.train.steps import batch_sharding, replicate_state
+
+    mesh = data_mesh(8)
+    model = build_model(SMALL, axis_name="data")
+    state, tx = _make_state(build_model(SMALL))  # init without collectives
+    state = replicate_state(state, mesh)
+    step = make_train_step(model, tx, mesh=mesh)
+
+    rng = np.random.default_rng(2)
+    inputs = rng.random((16, 32, 32, 2)).astype(np.float32)
+    labels = rng.uniform(0, 0.5, (16, 1)).astype(np.float32)
+    sharding = batch_sharding(mesh)
+    inputs_d = jax.device_put(jnp.asarray(inputs), sharding)
+    labels_d = jax.device_put(jnp.asarray(labels), sharding)
+
+    p_before = np.asarray(jax.tree.leaves(state.params)[0])
+    state, loss = step(state, inputs_d, labels_d, np.float32(1e-3), jax.random.key(0))
+    assert np.isfinite(float(loss))
+    p_after = np.asarray(jax.tree.leaves(state.params)[0])
+    assert not np.allclose(p_before, p_after)
+
+    # replicated output: every device shard of a param is identical
+    leaf = jax.tree.leaves(state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+    # val step reduces over the mesh
+    val = make_val_step(model, mesh=mesh)
+    sq, n = val(state.params, state.batch_stats, inputs_d, labels_d,
+                jax.device_put(jnp.ones((16,)), sharding))
+    assert float(n) == 16.0 and np.isfinite(float(sq))
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    """One small end-to-end CLI training run shared by the contract tests."""
+    from crosstalk_tpu.cli.train import main as train_main
+
+    root = tmp_path_factory.mktemp("train_cli")
+    mixed_dir, source_dir = make_synthetic_dataset(str(root), n=24, size=64, seed=5)
+    out_base = str(root / "runs")
+    os.makedirs(out_base, exist_ok=True)
+    rc = train_main([
+        "-m", mixed_dir, "-s", source_dir, "-b", "8", "-l", "1e-3", "-n", "3",
+        "-j", "2", "-o", "single", "-r", "onecycle",
+        "--compute_dtype", "f32", "--output_base", out_base, "--num_devices", "1",
+    ])
+    assert rc == 0
+    (run_dir,) = glob.glob(os.path.join(out_base, "training_run_*"))
+    return root, mixed_dir, source_dir, out_base, run_dir
+
+
+def test_train_cli_artifact_contract(trained_run):
+    _, _, _, _, run_dir = trained_run
+    base = os.path.basename(run_dir)
+    assert base.startswith("training_run_") and "_B8_LR0.001" in base
+
+    assert os.path.exists(os.path.join(run_dir, "params.txt"))
+    assert os.path.exists(os.path.join(run_dir, "model_architecture.txt"))
+    assert os.path.exists(os.path.join(run_dir, "best_model_onecycle.pth"))
+    assert os.path.exists(os.path.join(run_dir, "lr_schedule_onecycle.png"))
+    assert glob.glob(os.path.join(run_dir, "crosstalk_regression_model_trained_*_8_0.001.pth"))
+    assert glob.glob(os.path.join(run_dir, "training_validation_loss_*_8_0.001.png"))
+
+    logs = glob.glob(os.path.join(run_dir, "training_log_*_8_0.001_onecycle.csv"))
+    assert len(logs) == 1
+    with open(logs[0]) as f:
+        rows = list(csv.reader(f))
+    assert rows[0][0] == "Learning Rate"
+    assert rows[4] == ["epoch", "train_loss", "val_loss", "learning_rate"]
+    assert len(rows) == 5 + 3  # 3 epochs
+
+    for split in ("test", "train", "val"):
+        (pred,) = glob.glob(os.path.join(run_dir, f"{split}_predictions_*_8_0.001.csv"))
+        with open(pred) as f:
+            r = list(csv.DictReader(f))
+        assert list(r[0].keys()) == ["Actual_Label", "Predicted_Label"]
+        assert glob.glob(os.path.join(run_dir, f"{split}_predictions_plot_*.png"))
+
+
+def test_trained_pth_loads_in_torch(trained_run):
+    """The final checkpoint is genuinely consumable by the reference stack."""
+    from tests.torch_ref import TorchSingle
+
+    _, _, _, _, run_dir = trained_run
+    (path,) = glob.glob(
+        os.path.join(run_dir, "crosstalk_regression_model_trained_*.pth")
+    )
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    tmodel = TorchSingle(image_size=64)
+    tmodel.load_state_dict(sd)  # strict
+    tmodel.eval()
+    with torch.no_grad():
+        out = tmodel(torch.zeros(2, 2, 64, 64))
+    assert out.shape == (2, 1)
+
+
+def test_resume_continues(trained_run):
+    from crosstalk_tpu.cli.train import main as train_main
+
+    _, mixed_dir, source_dir, out_base, run_dir = trained_run
+    rc = train_main([
+        "-m", mixed_dir, "-s", source_dir, "-b", "8", "-l", "1e-3", "-n", "5",
+        "-j", "2", "-o", "single", "-r", "onecycle",
+        "--compute_dtype", "f32", "--output_base", out_base,
+        "--num_devices", "1", "--resume", run_dir,
+    ])
+    assert rc == 0
+    # resumed run continued to epoch 5: new log has epochs 4 and 5
+    logs = sorted(glob.glob(os.path.join(run_dir, "training_log_*.csv")),
+                  key=os.path.getmtime)
+    with open(logs[-1]) as f:
+        rows = list(csv.reader(f))
+    epochs = [int(r[0]) for r in rows[5:]]
+    assert epochs == [4, 5]
+
+
+def test_train_cli_multi_device_smoke(tmp_path):
+    """Full CLI on the virtual 8-device CPU mesh: data-parallel end to end."""
+    from crosstalk_tpu.cli.train import main as train_main
+
+    mixed_dir, source_dir = make_synthetic_dataset(str(tmp_path), n=16, size=64, seed=6)
+    rc = train_main([
+        "-m", mixed_dir, "-s", source_dir, "-b", "8", "-l", "1e-3", "-n", "1",
+        "-j", "2", "-o", "single", "-r", "aggressive_plateau",
+        "--compute_dtype", "f32", "--output_base", str(tmp_path), "--num_devices", "8",
+    ])
+    assert rc == 0
+    (run_dir,) = glob.glob(os.path.join(str(tmp_path), "training_run_*"))
+    assert os.path.exists(os.path.join(run_dir, "best_model_plateau.pth"))
