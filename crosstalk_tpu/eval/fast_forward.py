@@ -1,0 +1,148 @@
+"""Fast inference path: hand-scheduled eval-mode forward.
+
+Serving doesn't need flax module machinery or training-mode branches — in
+eval mode every ConvBlock is conv -> per-channel affine (the folded
+BatchNorm running stats) -> LeakyReLU -> maxpool, and the head is matmuls
+with the same folds (dropout inactive). This module compiles that directly
+from a model's ``variables`` tree:
+
+  * the first block (1-2 input channels) runs through the Pallas fused
+    kernel (ops/pallas/input_block.py) — one HBM pass instead of three;
+  * remaining blocks run as XLA convs in bfloat16 with the affine+relu
+    epilogue fused by XLA;
+  * dense head in bfloat16 with f32 accumulation.
+
+Produces the same predictions as ``model.apply(variables, x, train=False)``
+in bf16 mode (tests compare both); the f32 parity path stays on the flax
+model.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from crosstalk_tpu.config import ModelConfig
+from crosstalk_tpu.ops.pallas.input_block import (
+    fold_bn_affine,
+    fused_input_block,
+)
+
+_BF16 = jnp.bfloat16
+
+
+def _block_affine(block_params, block_stats, eps):
+    conv = block_params["Conv_0"]
+    bn = block_params["BatchNorm_0"]
+    st = block_stats["BatchNorm_0"]
+    scale, bias = fold_bn_affine(
+        conv["bias"], bn["scale"], bn["bias"], st["mean"], st["var"], eps
+    )
+    return conv["kernel"], scale, bias
+
+
+def _conv_block_eval(x, kernel, scale, bias, slope):
+    y = jax.lax.conv_general_dilated(
+        x.astype(_BF16),
+        kernel.astype(_BF16),
+        (1, 1),
+        ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y * scale.astype(_BF16) + bias.astype(_BF16)
+    y = jnp.where(y >= 0, y, jnp.asarray(slope, _BF16) * y)
+    return jax.lax.reduce_window(
+        y,
+        jnp.asarray(-jnp.inf, _BF16),
+        jax.lax.max,
+        (1, 2, 2, 1),
+        (1, 2, 2, 1),
+        "VALID",
+    )
+
+
+def _dense_bn_eval(x, block_params, block_stats, eps, slope):
+    dense = block_params["Dense_0"]
+    bn = block_params["BatchNorm_0"]
+    st = block_stats["BatchNorm_0"]
+    scale, bias = fold_bn_affine(
+        dense["bias"], bn["scale"], bn["bias"], st["mean"], st["var"], eps
+    )
+    y = (
+        jnp.dot(
+            x.astype(_BF16),
+            dense["kernel"].astype(_BF16),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+        + bias
+    )
+    return jnp.where(y >= 0, y, slope * y)
+
+
+def _branch_eval(x, params, stats, eps, slope, use_pallas, interpret):
+    n = 0
+    while f"ConvBlock_{n}" in params:
+        n += 1
+    for i in range(n):
+        kernel, scale, bias = _block_affine(
+            params[f"ConvBlock_{i}"], stats[f"ConvBlock_{i}"], eps
+        )
+        if i == 0 and use_pallas and x.shape[-1] <= 4 and (x.shape[1] // 2) % 4 == 0:
+            x = fused_input_block(
+                x, kernel, scale, bias, slope=slope, interpret=interpret
+            )
+        else:
+            x = _conv_block_eval(x, kernel, scale, bias, slope)
+    return x
+
+
+def make_fast_forward(
+    cfg: ModelConfig,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """-> jittable fn(variables, batch_nhwc) -> (B, 1) float32 predictions.
+
+    ``interpret=True`` runs the Pallas kernel in interpreter mode (CPU
+    tests); on TPU leave it False.
+    """
+    eps = cfg.bn_eps
+    slope = cfg.leaky_slope
+    variant = cfg.variant
+
+    def forward(variables, x):
+        params = variables["params"]
+        stats = variables["batch_stats"]
+        if variant == "double":
+            bleed = _branch_eval(
+                x[..., 0:1], params["bleed_branch"], stats["bleed_branch"],
+                eps, slope, use_pallas, interpret,
+            )
+            source = _branch_eval(
+                x[..., 1:2], params["source_branch"], stats["source_branch"],
+                eps, slope, use_pallas, interpret,
+            )
+            h = jnp.concatenate([bleed, source], axis=-1)
+        else:
+            h = _branch_eval(x, params, stats, eps, slope, use_pallas, interpret)
+        h = h.reshape(h.shape[0], -1)
+        h = _dense_bn_eval(h, params["DenseBNBlock_0"], stats["DenseBNBlock_0"], eps, slope)
+        h = _dense_bn_eval(h, params["DenseBNBlock_1"], stats["DenseBNBlock_1"], eps, slope)
+        out = params["Dense_0"]
+        h = (
+            jnp.dot(
+                h.astype(_BF16),
+                out["kernel"].astype(_BF16),
+                preferred_element_type=jnp.float32,
+            )
+            + out["bias"]
+        )
+        if variant == "double":
+            h = jax.nn.sigmoid(h) * 0.5
+        return h.astype(jnp.float32)
+
+    return forward
