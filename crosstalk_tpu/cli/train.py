@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Data-parallel device count (default: all)")
     parser.add_argument("--seed", type=int, default=43,
                         help="Split/augmentation seed (reference: 43)")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="Capture a jax.profiler trace of training to DIR")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="Fail fast on NaN/Inf in compiled computations")
     return parser
 
 
@@ -79,6 +83,10 @@ def main(argv=None) -> int:
     from crosstalk_tpu.parallel.mesh import data_mesh
     from crosstalk_tpu.train.loop import train_model
     from crosstalk_tpu.train.steps import init_train_state, make_optimizer
+    from crosstalk_tpu.utils.profiling import enable_debug_checks, maybe_trace
+
+    if args.debug_nans:
+        enable_debug_checks()
 
     devices = jax.devices()
     n_dev = args.num_devices or len(devices)
@@ -170,11 +178,12 @@ def main(argv=None) -> int:
     state = init_train_state(model, variables, tx)
 
     print("\nStarting training with validation...")
-    state, train_losses, val_losses = train_model(
-        model, state, stores["train"], stores["val"],
-        optim_cfg, train_cfg, run_dir, ts, args.model_options, tx,
-        mesh=mesh, seed=args.seed, resume=bool(args.resume),
-    )
+    with maybe_trace(args.profile):
+        state, train_losses, val_losses = train_model(
+            model, state, stores["train"], stores["val"],
+            optim_cfg, train_cfg, run_dir, ts, args.model_options, tx,
+            mesh=mesh, seed=args.seed, resume=bool(args.resume),
+        )
     print("Training finished!")
 
     # final .pth with a fresh timestamp (train_model.py:644-648)

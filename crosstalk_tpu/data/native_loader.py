@@ -1,0 +1,109 @@
+"""ctypes binding for the native C++ tile decoder (native/tile_loader.cpp).
+
+Builds the shared library with g++ on first use (cached under .cache/native,
+keyed by a source hash) and exposes :func:`load_pairs_native`. Anything that
+fails — no compiler, exotic TIFF flavor, unexpected shape — falls back to the
+pure-Python decoder in pipeline.py, so the native path is strictly an
+accelerator, never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SOURCE = os.path.join(_REPO_ROOT, "native", "tile_loader.cpp")
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    if _lib is not None:
+        return _lib
+    if _lib_failed:
+        return None
+    try:
+        with open(_SOURCE, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        cache_dir = os.path.join(_REPO_ROOT, ".cache", "native")
+        os.makedirs(cache_dir, exist_ok=True)
+        so_path = os.path.join(cache_dir, f"libtileloader_{digest}.so")
+        if not os.path.exists(so_path):
+            tmp = so_path + ".tmp.so"
+            subprocess.run(
+                [
+                    "g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                    "-fPIC", "-o", tmp, _SOURCE, "-lpthread",
+                ],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(tmp, so_path)
+        lib = ctypes.CDLL(so_path)
+        lib.crosstalk_load_pairs.restype = ctypes.c_int
+        lib.crosstalk_load_pairs.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.crosstalk_load_tile.restype = ctypes.c_int
+        lib.crosstalk_load_tile.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        _lib = lib
+        return lib
+    except Exception:
+        _lib_failed = True
+        return None
+
+
+def native_available() -> bool:
+    return _build_and_load() is not None
+
+
+def load_pairs_native(
+    mixed_paths: Sequence[str],
+    source_paths: Sequence[str],
+    out: np.ndarray,
+    threads: int = 8,
+) -> bool:
+    """Decode paired tiles into ``out`` (N, H, W, 2) float32 C-contiguous.
+    Returns False (without touching semantics) when the native path can't
+    serve this request — caller falls back to Python."""
+    lib = _build_and_load()
+    if lib is None:
+        return False
+    n = len(mixed_paths)
+    if out.dtype != np.float32 or not out.flags["C_CONTIGUOUS"]:
+        return False
+    if out.shape[0] != n or out.shape[-1] != 2:
+        return False
+    pixels = int(np.prod(out.shape[1:-1]))
+
+    interleaved = []
+    for m, s in zip(mixed_paths, source_paths):
+        interleaved.append(m.encode())
+        interleaved.append(s.encode())
+    arr = (ctypes.c_char_p * (2 * n))(*interleaved)
+    failed = ctypes.c_int64(-1)
+    rc = lib.crosstalk_load_pairs(
+        arr,
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pixels,
+        threads,
+        ctypes.byref(failed),
+    )
+    return rc == 0

@@ -56,8 +56,15 @@ def load_tiles(
     samples: Sequence[Sample],
     jobs: int = 1,
     out: Optional[np.ndarray] = None,
+    use_native: bool = True,
 ) -> np.ndarray:
-    """Decode all tile pairs into a packed (N, H, W, 2) float32 array."""
+    """Decode all tile pairs into a packed (N, H, W, 2) float32 array.
+
+    The hot path is the native C++ decoder (native/tile_loader.cpp via
+    crosstalk_tpu/data/native_loader.py) — a thread pool parsing the
+    dataset's baseline-TIFF flavor straight into the packed buffer; exotic
+    TIFFs or a missing toolchain fall back to the threaded Python decoder.
+    """
     if not samples:
         raise ValueError("load_tiles() received no samples")
     first = read_tile(samples[0].mixed_path)
@@ -65,6 +72,17 @@ def load_tiles(
     n = len(samples)
     if out is None:
         out = np.empty((n, h, w, 2), dtype=np.float32)
+
+    if use_native and isinstance(out, np.ndarray) and out.flags["C_CONTIGUOUS"]:
+        from crosstalk_tpu.data.native_loader import load_pairs_native
+
+        if load_pairs_native(
+            [s.mixed_path for s in samples],
+            [s.source_path for s in samples],
+            out,
+            threads=max(jobs, 1),
+        ):
+            return out
 
     def _load(i: int) -> None:
         out[i, :, :, 0] = read_tile(samples[i].mixed_path)

@@ -46,6 +46,7 @@ def evaluate(
     store: TileStore,
     batch_size: int = 64,
     with_metrics: bool = True,
+    forward_fn=None,
 ) -> Tuple[List[Dict], float]:
     """-> (per-sample rows in dataset order, mean MSE loss).
 
@@ -53,8 +54,11 @@ def evaluate(
     ``with_metrics`` (test-cross-talk-model.py:39-41), else the 2-column
     train-side schema (train_model.py:68). Values are kept as float32
     scalars so CSV text matches the reference's numpy-repr formatting.
+
+    ``forward_fn(variables, batch) -> (B, 1)`` overrides the model apply —
+    used to route through the fast serving path (eval/fast_forward.py).
     """
-    apply_fn = lambda v, x: model.apply(v, x, train=False)
+    apply_fn = forward_fn or (lambda v, x: model.apply(v, x, train=False))
 
     rows: List[Dict] = []
     total_sq_err = 0.0
@@ -103,6 +107,7 @@ def evaluate_and_save(
     batch_size: int = 64,
     with_metrics: bool = True,
     train_suffix: Optional[str] = None,
+    forward_fn=None,
 ) -> float:
     """Full reference behavior: evaluate, write the predictions CSV, and
     render the plot(s). ``train_suffix`` ('{ts}_{bs}_{lr}') selects the
@@ -112,7 +117,9 @@ def evaluate_and_save(
 
     from crosstalk_tpu.io import artifacts
 
-    rows, loss = evaluate(model, variables, store, batch_size, with_metrics)
+    rows, loss = evaluate(
+        model, variables, store, batch_size, with_metrics, forward_fn=forward_fn
+    )
     print(f"Final {dataset_name.capitalize()} Loss: {loss:.6f}")
 
     if train_suffix is not None:

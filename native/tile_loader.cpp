@@ -1,0 +1,228 @@
+// Native tile decoder for the CrosstalkTPU host input pipeline.
+//
+// The reference decodes one TIFF per DataLoader __getitem__ in forked Python
+// workers (reference train_model.py:159-177). Feeding a TPU slice needs the
+// host to sustain tens of thousands of tile decodes per second when building
+// the packed cache, so the hot path here is C++: a minimal baseline-TIFF
+// parser (the dataset flavor: single-plane, uncompressed, little-endian
+// float64/float32/uint16/uint8) plus a std::thread pool that decodes file
+// pairs straight into the caller-provided packed (N, H, W, 2) float32 buffer.
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image). Python keeps a
+// pure-Python fallback for exotic TIFFs (crosstalk_tpu/data/tiff.py).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libtileloader.so tile_loader.cpp -lpthread
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Tag {
+  uint16_t id;
+  uint16_t type;
+  uint32_t count;
+  uint32_t value_or_offset;
+};
+
+constexpr uint16_t kImageWidth = 256;
+constexpr uint16_t kImageLength = 257;
+constexpr uint16_t kBitsPerSample = 258;
+constexpr uint16_t kCompression = 259;
+constexpr uint16_t kStripOffsets = 273;
+constexpr uint16_t kSamplesPerPixel = 277;
+constexpr uint16_t kStripByteCounts = 279;
+constexpr uint16_t kSampleFormat = 339;
+
+inline uint16_t rd16(const uint8_t* p) {
+  return static_cast<uint16_t>(p[0]) | (static_cast<uint16_t>(p[1]) << 8);
+}
+inline uint32_t rd32(const uint8_t* p) {
+  return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+         (static_cast<uint32_t>(p[2]) << 16) |
+         (static_cast<uint32_t>(p[3]) << 24);
+}
+
+int type_size(uint16_t t) {
+  switch (t) {
+    case 1: case 2: case 6: case 7: return 1;
+    case 3: case 8: return 2;
+    case 4: case 9: case 11: return 4;
+    case 12: return 8;
+    default: return 0;
+  }
+}
+
+// Read one tag value (first element) resolving the value/offset encoding.
+uint32_t tag_value(const std::vector<uint8_t>& buf, const Tag& tag) {
+  int size = type_size(tag.type);
+  if (size == 0) return 0;
+  if (size * tag.count <= 4) {
+    if (size == 2) return tag.value_or_offset & 0xffff;
+    if (size == 1) return tag.value_or_offset & 0xff;
+    return tag.value_or_offset;
+  }
+  const uint8_t* p = buf.data() + tag.value_or_offset;
+  if (size == 2) return rd16(p);
+  return rd32(p);
+}
+
+// Convert raw pixel data to float32. Returns false on unsupported dtype.
+bool convert(const uint8_t* src, uint32_t n, uint16_t fmt, uint16_t bits,
+             float* dst) {
+  if (fmt == 3 && bits == 64) {
+    const double* s = reinterpret_cast<const double*>(src);
+    for (uint32_t i = 0; i < n; ++i) dst[i] = static_cast<float>(s[i]);
+    return true;
+  }
+  if (fmt == 3 && bits == 32) {
+    std::memcpy(dst, src, n * sizeof(float));
+    return true;
+  }
+  if (fmt == 1 && bits == 16) {
+    const uint16_t* s = reinterpret_cast<const uint16_t*>(src);
+    for (uint32_t i = 0; i < n; ++i) dst[i] = static_cast<float>(s[i]);
+    return true;
+  }
+  if (fmt == 1 && bits == 8) {
+    for (uint32_t i = 0; i < n; ++i) dst[i] = static_cast<float>(src[i]);
+    return true;
+  }
+  return false;
+}
+
+// Decode one baseline TIFF into dst (expected_pixels floats, strided by
+// `stride` between consecutive pixels, so channels can interleave).
+// Returns 0 on success, negative error codes otherwise.
+int decode_tiff(const char* path, float* dst, int64_t stride,
+                uint32_t expected_pixels) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (fsize < 8) { std::fclose(f); return -2; }
+  std::vector<uint8_t> buf(static_cast<size_t>(fsize));
+  if (std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+    std::fclose(f);
+    return -3;
+  }
+  std::fclose(f);
+
+  if (buf[0] != 'I' || buf[1] != 'I' || rd16(buf.data() + 2) != 42) return -4;
+  uint32_t ifd = rd32(buf.data() + 4);
+  if (ifd + 2 > buf.size()) return -5;
+  uint16_t n_tags = rd16(buf.data() + ifd);
+
+  uint32_t width = 0, height = 0, bits = 1, compression = 1, spp = 1, fmt = 1;
+  std::vector<uint32_t> strip_offsets, strip_counts;
+
+  for (uint16_t i = 0; i < n_tags; ++i) {
+    const uint8_t* p = buf.data() + ifd + 2 + 12 * i;
+    Tag tag{rd16(p), rd16(p + 2), rd32(p + 4), rd32(p + 8)};
+    switch (tag.id) {
+      case kImageWidth: width = tag_value(buf, tag); break;
+      case kImageLength: height = tag_value(buf, tag); break;
+      case kBitsPerSample: bits = tag_value(buf, tag); break;
+      case kCompression: compression = tag_value(buf, tag); break;
+      case kSamplesPerPixel: spp = tag_value(buf, tag); break;
+      case kSampleFormat: fmt = tag_value(buf, tag); break;
+      case kStripOffsets:
+      case kStripByteCounts: {
+        int size = type_size(tag.type);
+        std::vector<uint32_t>& out =
+            (tag.id == kStripOffsets) ? strip_offsets : strip_counts;
+        if (size * tag.count <= 4) {
+          out.push_back(tag_value(buf, tag));
+        } else {
+          const uint8_t* q = buf.data() + tag.value_or_offset;
+          for (uint32_t k = 0; k < tag.count; ++k)
+            out.push_back(size == 2 ? rd16(q + 2 * k) : rd32(q + 4 * k));
+        }
+        break;
+      }
+      default: break;
+    }
+  }
+
+  if (compression != 1 || spp != 1) return -6;  // exotic -> Python fallback
+  if (width * height != expected_pixels) return -7;
+  size_t elem = bits / 8;
+  if (strip_counts.empty())
+    strip_counts.push_back(static_cast<uint32_t>(width * height * elem));
+  size_t total = 0;
+  for (uint32_t c : strip_counts) total += c;
+  if (total != width * height * elem) return -8;
+
+  // gather strips (usually one) then convert
+  std::vector<uint8_t> linear;
+  const uint8_t* src;
+  if (strip_offsets.size() == 1) {
+    if (strip_offsets[0] + total > buf.size()) return -9;
+    src = buf.data() + strip_offsets[0];
+  } else {
+    linear.reserve(total);
+    for (size_t k = 0; k < strip_offsets.size(); ++k) {
+      if (strip_offsets[k] + strip_counts[k] > buf.size()) return -9;
+      linear.insert(linear.end(), buf.data() + strip_offsets[k],
+                    buf.data() + strip_offsets[k] + strip_counts[k]);
+    }
+    src = linear.data();
+  }
+
+  if (stride == 1) {
+    if (!convert(src, width * height, fmt, bits, dst)) return -10;
+  } else {
+    std::vector<float> tmp(width * height);
+    if (!convert(src, width * height, fmt, bits, tmp.data())) return -10;
+    for (uint32_t i = 0; i < width * height; ++i) dst[i * stride] = tmp[i];
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode `n` (mixed, source) tile pairs into out (n, pixels, 2) float32.
+// paths: 2n C strings, [mixed_0, source_0, mixed_1, source_1, ...].
+// Returns 0 if every decode succeeded; otherwise the first nonzero error
+// code, with `first_failure` set to the failing path index.
+int crosstalk_load_pairs(const char** paths, int64_t n, float* out,
+                         int64_t pixels, int threads, int64_t* first_failure) {
+  std::atomic<int64_t> next(0);
+  std::atomic<int> status(0);
+  std::atomic<int64_t> failed(-1);
+
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= 2 * n || status.load() != 0) return;
+      float* dst = out + (i / 2) * pixels * 2 + (i % 2);
+      int rc = decode_tiff(paths[i], dst, 2, static_cast<uint32_t>(pixels));
+      if (rc != 0) {
+        int expected = 0;
+        if (status.compare_exchange_strong(expected, rc)) failed.store(i);
+      }
+    }
+  };
+
+  int n_threads = threads < 1 ? 1 : threads;
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  if (first_failure) *first_failure = failed.load();
+  return status.load();
+}
+
+// Single-file decode into a dense float32 buffer (stride 1).
+int crosstalk_load_tile(const char* path, float* out, int64_t pixels) {
+  return decode_tiff(path, out, 1, static_cast<uint32_t>(pixels));
+}
+
+}  // extern "C"
