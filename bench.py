@@ -11,6 +11,8 @@ Prints ONE JSON line:
 reported alongside (a v5e's bf16 peak bounds the 78 GFLOP/tile training
 step to ~2.5k tiles/s/chip at 100% MXU, so the 5k target is an
 inference-side goal per chip; training scales across the data-parallel mesh).
+Measured context: conv blocks 2-6 run at 70-86% of MXU peak; the few-channel
+input block and the remaining gap are analyzed in PERF_NOTES.md.
 
 Measurement method: per-dispatch latency through this environment's TPU
 relay is large (~100 ms), so each timed unit is a jitted lax.scan of
@@ -70,11 +72,15 @@ def main() -> None:
     fast = make_fast_forward(cfg, use_pallas=False)
 
     def infer_scan(variables, x):
-        def body(acc, _):
-            preds = fast(variables, normalize_batch_nhwc(x))
+        def body(acc, i):
+            # per-step input perturbation defeats loop-invariant hoisting —
+            # with a fixed body XLA computes the forward ONCE and the "scan"
+            # measures relay latency (observed: a 5x-too-good number)
+            xi = x + i.astype(jnp.float32) * 1e-9
+            preds = fast(variables, normalize_batch_nhwc(xi))
             return acc + jnp.sum(preds), None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=SCAN_LEN)
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(SCAN_LEN))
         return acc
 
     infer_jit = jax.jit(infer_scan)
