@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Split/augmentation seed (reference: 43)")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="Capture a jax.profiler trace of training to DIR")
+    parser.add_argument("--checkpoint_every", type=int, default=1,
+                        help="Native-resume checkpoint cadence in epochs "
+                             "(the final epoch always checkpoints)")
     parser.add_argument("--debug_nans", action="store_true",
                         help="Fail fast on NaN/Inf in compiled computations")
     return parser
@@ -168,6 +171,7 @@ def main(argv=None) -> int:
     train_cfg = TrainConfig(
         batch_size=batch_size, num_epochs=args.num_epochs,
         output_base=args.output_base, resume=args.resume,
+        checkpoint_every=max(args.checkpoint_every, 1),
     )
 
     tx = make_optimizer(optim_cfg)

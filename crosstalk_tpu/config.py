@@ -118,6 +118,7 @@ class TrainConfig:
     sync_batchnorm: bool = True
     profile: bool = False         # capture a jax.profiler trace of a few steps
     resume: Optional[str] = None  # run dir to resume from (native checkpoints)
+    checkpoint_every: int = 1     # native-resume checkpoint cadence (epochs)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -91,7 +91,13 @@ def _branch_eval(x, params, stats, eps, slope, use_pallas, interpret):
         kernel, scale, bias = _block_affine(
             params[f"ConvBlock_{i}"], stats[f"ConvBlock_{i}"], eps
         )
-        if i == 0 and use_pallas and x.shape[-1] <= 4 and (x.shape[1] // 2) % 4 == 0:
+        pallas_ok = (
+            use_pallas
+            and x.shape[-1] <= 4
+            and (x.shape[1] // 2) % 4 == 0
+            and kernel.shape[-1] % 128 == 0  # Mosaic lane-width constraint
+        )
+        if i == 0 and pallas_ok:
             x = fused_input_block(
                 x, kernel, scale, bias, slope=slope, interpret=interpret
             )
@@ -102,12 +108,14 @@ def _branch_eval(x, params, stats, eps, slope, use_pallas, interpret):
 
 def make_fast_forward(
     cfg: ModelConfig,
-    use_pallas: bool = True,
+    use_pallas: bool = False,
     interpret: bool = False,
 ):
     """-> jittable fn(variables, batch_nhwc) -> (B, 1) float32 predictions.
 
-    ``interpret=True`` runs the Pallas kernel in interpreter mode (CPU
+    ``use_pallas`` opts into the experimental fused input-block kernel —
+    currently measured SLOWER than the XLA path (see PERF_NOTES.md), so it
+    is off by default. ``interpret=True`` runs it in interpreter mode (CPU
     tests); on TPU leave it False.
     """
     eps = cfg.bn_eps

@@ -167,21 +167,24 @@ def train_model(
         )
         log.log_epoch(epoch + 1, train_loss, val_loss, current_lr)
 
-        # ---- native resume checkpoint (every epoch)
-        checkpoint.save_checkpoint(
-            run_dir,
-            state,
-            {
-                "epoch": epoch + 1,
-                "global_step": global_step,
-                "best_val_loss": best_val_loss,
-                "epochs_without_improvement": epochs_without_improvement,
-                "train_losses": train_losses,
-                "val_losses": val_losses,
-                "lr_history": lr_history,
-                "schedule": schedule.state_dict(),
-            },
-        )
+        # ---- native resume checkpoint (every checkpoint_every epochs and on
+        #      the final epoch; a 137M-param state is ~1.6 GB per write)
+        ckpt_every = getattr(train_cfg, "checkpoint_every", 1)
+        if (epoch + 1) % ckpt_every == 0 or epoch + 1 == train_cfg.num_epochs:
+            checkpoint.save_checkpoint(
+                run_dir,
+                state,
+                {
+                    "epoch": epoch + 1,
+                    "global_step": global_step,
+                    "best_val_loss": best_val_loss,
+                    "epochs_without_improvement": epochs_without_improvement,
+                    "train_losses": train_losses,
+                    "val_losses": val_losses,
+                    "lr_history": lr_history,
+                    "schedule": schedule.state_dict(),
+                },
+            )
 
         if epochs_without_improvement >= schedule.early_stop_patience:
             print(
