@@ -187,6 +187,7 @@ def main(argv=None) -> int:
             model, state, stores["train"], stores["val"],
             optim_cfg, train_cfg, run_dir, ts, args.model_options, tx,
             mesh=mesh, seed=args.seed, resume=bool(args.resume),
+            naming_batch_size=args.batch_size,
         )
     print("Training finished!")
 
@@ -194,7 +195,7 @@ def main(argv=None) -> int:
     ts2 = artifacts.timestamp()
     final_path = (
         f"{run_dir}/crosstalk_regression_model_trained_{ts2}_"
-        f"{batch_size}_{args.learning_rate}.pth"
+        f"{args.batch_size}_{args.learning_rate}.pth"
     )
     save_pth(
         final_path,
@@ -204,7 +205,7 @@ def main(argv=None) -> int:
     print(f"Trained model weights saved to {final_path}")
 
     artifacts.plot_loss_curves(
-        run_dir, train_losses, val_losses, ts2, batch_size, args.learning_rate
+        run_dir, train_losses, val_losses, ts2, args.batch_size, args.learning_rate
     )
     print("Training and validation loss plot saved")
 
@@ -213,7 +214,7 @@ def main(argv=None) -> int:
     # (train_model.py:666-673).
     print("\n--- Evaluating Model ---")
     loaded = load_pth(final_path, args.model_options)
-    suffix = f"{ts2}_{batch_size}_{args.learning_rate}"
+    suffix = f"{ts2}_{args.batch_size}_{args.learning_rate}"
     for split in ("test", "train", "val"):
         print(f"\n--- Evaluating Model on {split.capitalize()} Set ---")
         evaluate_and_save(

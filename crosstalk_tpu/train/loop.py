@@ -54,9 +54,15 @@ def train_model(
     mesh=None,
     seed: int = 43,
     resume: bool = False,
+    naming_batch_size: Optional[int] = None,
 ) -> Tuple[TrainState, List[float], List[float]]:
-    """Run the full training schedule; returns (state, train_losses, val_losses)."""
+    """Run the full training schedule; returns (state, train_losses, val_losses).
+
+    ``naming_batch_size`` keeps artifact filenames on the CLI-requested batch
+    size when the effective batch was clamped (the run-directory name already
+    used the requested value — the contract the analysis tool parses)."""
     batch_size = train_cfg.batch_size
+    naming_bs = naming_batch_size if naming_batch_size is not None else batch_size
     steps_per_epoch = len(train_store) // batch_size
     if steps_per_epoch == 0:
         raise ValueError(
@@ -97,7 +103,7 @@ def train_model(
             print(f"Resumed from epoch {start_epoch} (best val {best_val_loss:.6f})")
 
     log = artifacts.TrainingLog(
-        run_dir, ts, batch_size, optim_cfg.learning_rate,
+        run_dir, ts, naming_bs, optim_cfg.learning_rate,
         schedule.scheduler_type, schedule.params_dict,
     )
 
