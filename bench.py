@@ -66,10 +66,10 @@ def main() -> None:
     model = build_model(cfg)
     variables = init_model(model, jax.random.key(0), image_size=256, batch=2)
 
-    SCAN_LEN = 8
+    SCAN_LEN = 16
 
     # ---------- inference (serving path) ----------
-    fast = make_fast_forward(cfg, use_pallas=False)
+    fast = make_fast_forward(cfg, use_pallas=True)
 
     def infer_scan(variables, x):
         def body(acc, i):
@@ -85,7 +85,7 @@ def main() -> None:
 
     infer_jit = jax.jit(infer_scan)
 
-    infer_batch = 256
+    infer_batch = 512
     while True:
         try:
             rng = np.random.default_rng(0)

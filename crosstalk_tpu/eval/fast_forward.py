@@ -108,15 +108,15 @@ def _branch_eval(x, params, stats, eps, slope, use_pallas, interpret):
 
 def make_fast_forward(
     cfg: ModelConfig,
-    use_pallas: bool = False,
+    use_pallas: bool = True,
     interpret: bool = False,
 ):
     """-> jittable fn(variables, batch_nhwc) -> (B, 1) float32 predictions.
 
-    ``use_pallas`` opts into the experimental fused input-block kernel —
-    currently measured SLOWER than the XLA path (see PERF_NOTES.md), so it
-    is off by default. ``interpret=True`` runs it in interpreter mode (CPU
-    tests); on TPU leave it False.
+    ``use_pallas`` routes the few-channel input block through the fused
+    im2col-GEMM-max kernel (measured 42 vs 49.7 us/img for XLA at the
+    flagship config; see PERF_NOTES.md). ``interpret=True`` runs it in
+    interpreter mode (CPU tests); on TPU leave it False.
     """
     eps = cfg.bn_eps
     slope = cfg.leaky_slope

@@ -2,27 +2,32 @@
 LeakyReLU + maxpool 2x2) for few-channel inputs.
 
 Why this kernel exists. The models' first block convolves a 1-2 channel
-image (regression_model.py:14-17 / two_branch_regression.py:10-13 in the
-reference). On TPU this layer is pathological for XLA: the input channel
-dim (2) is padded to the 128-lane register width, and the 16 MB/image
-pre-pool activation (256x256x128 bf16) is materialized to HBM and read back
-by the pool — the block is pure HBM bandwidth, ~38 us/image, ~47% of the
-whole model's inference time for ~1% of its FLOPs (measured, v5e).
+image (reference regression_model.py:14-17 / two_branch_regression.py:10-13).
+On TPU this layer is pathological for XLA: the input channel dim is padded to
+the 128-lane register width and the pre-pool activation (16 MB/image at the
+flagship config) is materialized to HBM and read back by the pool — measured
+49.7 us/image, ~22% of the whole model's inference time for ~1% of its FLOPs
+(v5e, hoist-proof measurement; see PERF_NOTES.md).
 
-The kernel fuses the whole block so only the pooled output (4 MB) ever
-touches HBM, and restructures the conv for the MXU:
+Design (v2 — the v1 all-in-kernel design lost to Mosaic relayout costs):
 
-  * space-to-depth: the (H, W, C) image becomes (H/2, W/2, 4C) — the 2x2
-    maxpool windows align exactly with the four s2d phases, so
-    pool(conv3x3(x)) == max over 4 phase-convs of the s2d image. The four
-    phase kernels assemble into ONE (3, 3, 4C, 4F) kernel (zero-structured),
-    turning the MXU contraction from 9*C (= 18, 14% MXU utilization) into
-    9*4C (= 72, 56%).
-  * per row-chunk: an im2col patch matrix in VMEM -> one MXU matmul ->
-    affine -> LeakyReLU -> max over the 4 phase groups -> write the pooled
-    rows. The affine is the eval-mode BatchNorm fold (scale = gamma * rsqrt
-    (var + eps); bias = (conv_bias - mean) * scale + beta), so the kernel
-    computes the block's exact eval semantics.
+  1. space-to-depth (XLA): the (H, W, C) image becomes (H/2, W/2, 4C); the
+     2x2 maxpool windows align exactly with the four s2d phases, so
+     pool(conv3x3(x)) == max over 4 phase-convs of the s2d image. The four
+     phase kernels assemble into ONE (3, 3, 4C, 4F) kernel (zero-structured).
+  2. im2col (XLA): `conv_general_dilated_patches` builds the (B, H/2 * W/2,
+     9*4C) patch matrix in HBM — XLA moves data at bandwidth; hand-built
+     in-kernel patch assembly paid 3-10x in Mosaic relayouts.
+  3. Pallas GEMM + epilogue: one natural-orientation MXU matmul per
+     pixel-chunk, phase-max over aligned lane blocks (NO reshape — a
+     (M, 4, F) reshape forces a full-tensor relayout), + bias + LeakyReLU.
+     The BN scale is folded into the GEMM weights (exact: max commutes with
+     the per-channel bias and the monotone LeakyReLU once the scale lives
+     inside the matmul), so only the pooled (M, F) output sees the epilogue.
+
+Net effect: the 16 MB pre-pool intermediate never exists; the only large
+HBM traffic is the 2.4 MB patch matrix and the 4 MB pooled output.
+Measured: 42 us/image vs XLA's 49.7 at the flagship config.
 
 Used by the fast inference path (eval/fast_forward.py); training and the
 f32 parity mode keep the XLA path.
@@ -51,7 +56,6 @@ def build_phase_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
     """
     three, three2, c_in, f = kernel.shape
     assert three == 3 and three2 == 3, "input block kernel must be 3x3"
-    # static scatter indices, built once per trace
     tu, tv, tc, tp, sh, sw, sc = [], [], [], [], [], [], []
     for p in range(2):
         for q in range(2):
@@ -83,43 +87,27 @@ def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _kernel_body(x_ref, w_ref, scale_ref, bias_ref, out_ref, *, chunk: int,
-                 w2: int, c4: int, f: int, slope: float):
-    """One (batch, row-chunk) program: im2col -> MXU -> epilogue -> write.
+def _patches_row_perm(c4: int) -> np.ndarray:
+    """conv_general_dilated_patches orders the patch features channel-major
+    (c, dh, dw); build_phase_kernel's rows are (dh, dw, c). Map q -> r."""
+    perm = np.empty(9 * c4, np.int64)
+    for q in range(9 * c4):
+        c, rem = divmod(q, 9)
+        dh, dw = divmod(rem, 3)
+        perm[q] = (dh * 3 + dw) * c4 + c
+    return perm
 
-    The x block is the whole padded image of this batch element (the row
-    grid index maps to the same block, so it is fetched once per batch and
-    reused across row programs); the out block is just this program's
-    ``chunk`` pooled rows, keeping VMEM footprint small.
-    """
-    a0 = pl.program_id(1) * chunk
-    # x_ref is channel-FIRST (1, 4C, H2+2, W2+2): a trailing 4C channel dim
-    # would be padded to the 128-lane width in VMEM (16x waste); as a leading
-    # dim the (rows, cols) planes tile natively.
-    #
-    # Dynamic sublane slices must be 8-aligned on TPU, but the conv taps need
-    # rows a0+dh for dh in {0,1,2}. So: one aligned 2*chunk-row load per
-    # channel, then STATIC (dh, dw) sub-slices in registers (vector rotates,
-    # no memory op). Rows past the image edge read VMEM padding and are
-    # statically sliced away before use.
-    planes = [x_ref[0, c, pl.ds(a0, 2 * chunk), :] for c in range(c4)]
-    taps = [
-        planes[c][dh : dh + chunk, dw : dw + w2]  # (chunk, w2)
-        for dh in range(3)
-        for dw in range(3)
-        for c in range(c4)
-    ]
-    patches = jnp.stack(taps, axis=0).reshape(9 * c4, chunk * w2)
-    z = jax.lax.dot_general(
-        patches.astype(jnp.bfloat16),
-        w_ref[:].astype(jnp.bfloat16),
-        dimension_numbers=(((0,), (0,)), ((), ())),  # contract the tap dim
-        preferred_element_type=jnp.float32,
-    )  # (chunk * w2, 4F)
-    z = z * scale_ref[:] + bias_ref[:]
-    z = jnp.where(z >= 0, z, slope * z)
-    z = z.reshape(chunk, w2, 4, f)
-    out_ref[0, :, :, :] = jnp.max(z, axis=2).astype(out_ref.dtype)
+
+def _gemm_max_body(p_ref, w_ref, b_ref, o_ref, *, f: int, slope: float):
+    """One pixel-chunk: natural-orientation MXU GEMM over the phase-stacked
+    weights, max over the 4 aligned F-wide lane blocks, bias + LeakyReLU."""
+    z = jnp.dot(p_ref[0], w_ref[:], preferred_element_type=jnp.float32)
+    m = jnp.maximum(
+        jnp.maximum(z[:, 0 * f : 1 * f], z[:, 1 * f : 2 * f]),
+        jnp.maximum(z[:, 2 * f : 3 * f], z[:, 3 * f : 4 * f]),
+    )
+    y = m + b_ref[0]
+    o_ref[0, :, :] = jnp.where(y >= 0, y, slope * y).astype(o_ref.dtype)
 
 
 def fused_input_block(
@@ -134,47 +122,57 @@ def fused_input_block(
 ) -> jnp.ndarray:
     """Fused conv3x3(SAME) -> (*scale + bias) -> LeakyReLU -> maxpool2x2.
 
-    x: (B, H, W, C) with C small (1, 2, 4); H, W even, H/2 % 4 == 0.
-    kernel: (3, 3, C, F) canonical conv weights (converter layout).
-    scale, bias: (F,) eval-mode folded affine (see module docstring).
+    x: (B, H, W, C) with C small (1, 2, 4); H, W even.
+    kernel: (3, 3, C, F) canonical conv weights (converter layout); F must
+    be a multiple of 128 (lane-aligned phase blocks).
+    scale, bias: (F,) eval-mode folded BatchNorm affine
+    (scale = gamma * rsqrt(var + eps); bias = (conv_bias - mean)*scale + beta).
     -> (B, H/2, W/2, F) in ``out_dtype``.
     """
     b, h, w, c = x.shape
     f = kernel.shape[-1]
     h2, w2 = h // 2, w // 2
-    chunk = 8 if h2 % 8 == 0 else (4 if h2 % 4 == 0 else 1)
+    m = h2 * w2
 
     xs = space_to_depth(x)
-    # rows: 1 halo on top, and enough bottom padding (chunk - 1) that the
-    # last chunk's aligned 2*chunk-row load stays in bounds (see kernel body)
-    xs = jnp.pad(xs, ((0, 0), (1, chunk - 1), (1, 1), (0, 0)))
-    xs = jnp.transpose(xs, (0, 3, 1, 2))  # channel-first (see kernel body)
-    w2k = build_phase_kernel(kernel).reshape(9 * 4 * c, 4 * f)
-    scale4 = jnp.tile(scale, 4).reshape(1, 4 * f).astype(jnp.float32)
-    bias4 = jnp.tile(bias, 4).reshape(1, 4 * f).astype(jnp.float32)
+    patches = jax.lax.conv_general_dilated_patches(
+        xs.astype(jnp.bfloat16),
+        (3, 3),
+        (1, 1),
+        ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).reshape(b, m, 9 * 4 * c)
 
-    body = functools.partial(
-        _kernel_body, chunk=chunk, w2=w2, c4=4 * c, f=f, slope=slope
-    )
-    return pl.pallas_call(
+    perm = jnp.asarray(_patches_row_perm(4 * c))
+    w2k = build_phase_kernel(kernel).reshape(9 * 4 * c, 4 * f)[perm]
+    w2k = (w2k * jnp.tile(scale, 4)[None, :]).astype(jnp.bfloat16)
+    bias1 = bias.reshape(1, f).astype(jnp.float32)
+
+    chunk = m
+    for cand in (4096, 2048, 1024, 512, 256):
+        if m % cand == 0:
+            chunk = min(cand, m)
+            break
+
+    body = functools.partial(_gemm_max_body, f=f, slope=slope)
+    out = pl.pallas_call(
         body,
-        grid=(b, h2 // chunk),
+        grid=(b, m // chunk),
         in_specs=[
             pl.BlockSpec(
-                (1, 4 * c, h2 + chunk, w2 + 2),
-                lambda i, j: (i, 0, 0, 0),  # same block across the row grid
+                (1, chunk, 9 * 4 * c), lambda i, j: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, chunk, w2, f), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            (1, chunk, f), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h2, w2, f), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, m, f), out_dtype),
         interpret=interpret,
-    )(xs, w2k, scale4, bias4)
+    )(patches, w2k, bias1)
+    return out.reshape(b, h2, w2, f)
 
 
 def fold_bn_affine(conv_bias, bn_scale, bn_bias, bn_mean, bn_var, eps=1e-5):
