@@ -40,6 +40,18 @@ def _eval_step(apply_fn, variables, inputs, labels, mask, with_metrics: bool):
     return out
 
 
+@functools.lru_cache(maxsize=8)
+def _default_forward(model):
+    """Stable-identity eval forward per model, so repeated evaluate() calls
+    (e.g. the three post-training splits) hit the jit cache instead of
+    retracing a fresh lambda each time."""
+
+    def forward(variables, batch):
+        return model.apply(variables, batch, train=False)
+
+    return forward
+
+
 def evaluate(
     model,
     variables,
@@ -58,7 +70,7 @@ def evaluate(
     ``forward_fn(variables, batch) -> (B, 1)`` overrides the model apply —
     used to route through the fast serving path (eval/fast_forward.py).
     """
-    apply_fn = forward_fn or (lambda v, x: model.apply(v, x, train=False))
+    apply_fn = forward_fn or _default_forward(model)
 
     rows: List[Dict] = []
     total_sq_err = 0.0
