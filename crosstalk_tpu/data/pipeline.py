@@ -170,8 +170,11 @@ def iterate_batches(
         if real < batch_size:  # pad-and-mask the tail
             pad = np.zeros(batch_size - real, dtype=idx.dtype)
             idx = np.concatenate([idx, pad])
-        # fancy-index on a memmap materializes just this batch in RAM
-        inputs = np.asarray(store.tiles[idx], dtype=np.float32)
+        # row-wise copy: numpy fancy-indexing on a memmap degrades to
+        # per-element gathers (~4x slower than contiguous row memcpys)
+        inputs = np.empty((batch_size, *store.tiles.shape[1:]), np.float32)
+        for j, i in enumerate(idx):
+            inputs[j] = store.tiles[i]
         labels = store.labels[idx]
         ids = store.ids[idx]
         mask = np.zeros(batch_size, dtype=np.float32)
