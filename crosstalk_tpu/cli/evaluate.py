@@ -84,6 +84,10 @@ def main(argv=None) -> int:
     if args.debug_nans:
         enable_debug_checks()
 
+    from crosstalk_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     device = jax.devices()[0]
     print(f"Using device: {device.platform}:{device.device_kind}")
 

@@ -91,6 +91,10 @@ def main(argv=None) -> int:
     if args.debug_nans:
         enable_debug_checks()
 
+    from crosstalk_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     devices = jax.devices()
     n_dev = args.num_devices or len(devices)
     print(f"Using device: {devices[0].platform} x{n_dev} ({devices[0].device_kind})")
