@@ -50,10 +50,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from crosstalk_tpu.config import ModelConfig, OptimConfig
-    from crosstalk_tpu.data.transforms import (
-        normalize_batch_nhwc,
-        paired_random_flips,
-    )
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
     from crosstalk_tpu.eval.fast_forward import make_fast_forward
     from crosstalk_tpu.models import build_model, init_model
     from crosstalk_tpu.train.steps import (

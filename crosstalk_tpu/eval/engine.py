@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from crosstalk_tpu.data.pipeline import Batch, TileStore, device_prefetch, iterate_batches
+from crosstalk_tpu.data.pipeline import TileStore, device_prefetch, iterate_batches
 from crosstalk_tpu.data.transforms import normalize_batch_nhwc
 from crosstalk_tpu.ops.metrics import classical_metrics
 
