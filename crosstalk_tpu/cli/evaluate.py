@@ -128,7 +128,10 @@ def main(argv=None) -> int:
     if args.fast:
         from crosstalk_tpu.eval.fast_forward import make_fast_forward
 
-        forward_fn = make_fast_forward(model_cfg)
+        # The Pallas input-block kernel is TPU-only (Mosaic); on other
+        # backends the serving path still runs (folded-BN bf16 XLA forward).
+        on_tpu = device.platform in ("tpu", "axon")
+        forward_fn = make_fast_forward(model_cfg, use_pallas=on_tpu)
 
     print("\n--- Evaluating Model ---")
     evaluate_and_save(

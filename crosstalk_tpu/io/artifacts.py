@@ -87,15 +87,31 @@ def write_architecture_txt(run_dir: str, summary: str) -> str:
 class TrainingLog:
     """training_log_*.csv writer: 4 metadata rows, then the epoch header,
     then one row per epoch (train_model.py:395-405, 470). Rows are flushed
-    per epoch so a killed run keeps its history."""
+    per epoch so a killed run keeps its history.
+
+    ``resume_from_epoch`` keeps an existing log's rows up to (and including)
+    that epoch and continues after them — a resumed run must not truncate
+    the history the analysis tool parses. Rows past the resume point (logged
+    after the last durable checkpoint by a crashed run) are dropped, since
+    those epochs are about to be re-trained."""
 
     def __init__(self, run_dir: str, ts: str, batch_size: int,
                  learning_rate: float, scheduler_type: str,
-                 scheduler_params: Dict):
+                 scheduler_params: Dict, resume_from_epoch: int = None):
         self.path = os.path.join(
             run_dir,
             f"training_log_{ts}_{batch_size}_{learning_rate}_{scheduler_type}.csv",
         )
+        kept_rows: List[List[str]] = []
+        if resume_from_epoch is not None and os.path.exists(self.path):
+            with open(self.path, newline="") as f:
+                reader = list(csv.reader(f))
+            for row in reader[5:]:  # past the 4 metadata rows + header
+                try:
+                    if row and int(row[0]) <= resume_from_epoch:
+                        kept_rows.append(row)
+                except ValueError:
+                    continue
         self._file = open(self.path, "w", newline="")
         self._writer = csv.writer(self._file)
         self._writer.writerow(["Learning Rate", learning_rate])
@@ -103,6 +119,7 @@ class TrainingLog:
         self._writer.writerow(["Scheduler Type", scheduler_type])
         self._writer.writerow(["Scheduler Params", str(scheduler_params)])
         self._writer.writerow(["epoch", "train_loss", "val_loss", "learning_rate"])
+        self._writer.writerows(kept_rows)
         self._file.flush()
 
     def log_epoch(self, epoch: int, train_loss: float, val_loss: float, lr: float):

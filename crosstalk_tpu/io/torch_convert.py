@@ -228,6 +228,8 @@ def save_pth(path: str, variables: dict, variant: str) -> None:
     import torch
 
     sd = flax_to_torch(variables, variant)
+    # np.array(copy=True) -> writable buffers (torch.from_numpy on a read-only
+    # device-array view would warn and risk UB if the tensor were mutated)
     torch.save(
-        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path
+        {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()}, path
     )

@@ -105,6 +105,7 @@ def train_model(
     log = artifacts.TrainingLog(
         run_dir, ts, naming_bs, optim_cfg.learning_rate,
         schedule.scheduler_type, schedule.params_dict,
+        resume_from_epoch=start_epoch if resume else None,
     )
 
     for epoch in range(start_epoch, train_cfg.num_epochs):

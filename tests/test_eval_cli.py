@@ -82,6 +82,37 @@ def test_eval_cli_end_to_end(cli_setup):
             assert np.isfinite(float(row[field]))
 
 
+def test_eval_cli_fast_path_on_cpu(cli_setup):
+    """--fast must run on non-TPU backends (Pallas auto-gated off) and stay
+    within the serving-accuracy budget of the f32 predictions."""
+    root, mixed_dir, source_dir, ckpt, tmodel = cli_setup
+    out_base = str(root / "out_fast")
+    rc = eval_main([
+        "-m", mixed_dir, "-s", source_dir, "-p", ckpt, "-j", "2", "-o", "single",
+        "--output_base", out_base, "--batch_size", "4", "--fast",
+    ])
+    assert rc == 0
+    (csv_path,) = glob.glob(os.path.join(out_base, "eval_run_*", "test_predictions_*.csv"))
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 10
+    from crosstalk_tpu.data.index import PairIndex
+    from crosstalk_tpu.data.pipeline import TileStore
+
+    index = PairIndex(mixed_dir, source_dir)
+    store = TileStore(index.samples, jobs=1)
+    tiles = np.asarray(store.tiles)
+    lo = tiles.min(axis=(1, 2), keepdims=True)
+    hi = tiles.max(axis=(1, 2), keepdims=True)
+    batch = (tiles - lo) / (hi - lo)
+    with torch.no_grad():
+        golden = tmodel(torch.from_numpy(batch.transpose(0, 3, 1, 2))).numpy().ravel()
+    by_id = {int(s.image_id): g for s, g in zip(index.samples, golden)}
+    # bf16 serving path: looser budget than the f32 parity mode
+    for row in rows:
+        assert abs(float(row["Predicted_Label"]) - by_id[int(row["Image_ID"])]) < 2e-2
+
+
 def test_eval_cli_missing_checkpoint(cli_setup, capsys):
     root, mixed_dir, source_dir, _, _ = cli_setup
     rc = eval_main([

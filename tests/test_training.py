@@ -194,13 +194,16 @@ def test_resume_continues(trained_run):
         "--num_devices", "1", "--resume", run_dir,
     ])
     assert rc == 0
-    # resumed run continued to epoch 5: new log has epochs 4 and 5
+    # the resumed run continues the SAME log: epochs 1-3 from the original
+    # run are preserved and 4-5 appended (a truncating resume would break
+    # analyse_training_results' min-loss computation)
     logs = sorted(glob.glob(os.path.join(run_dir, "training_log_*.csv")),
                   key=os.path.getmtime)
     with open(logs[-1]) as f:
         rows = list(csv.reader(f))
+    assert rows[4] == ["epoch", "train_loss", "val_loss", "learning_rate"]
     epochs = [int(r[0]) for r in rows[5:]]
-    assert epochs == [4, 5]
+    assert epochs == [1, 2, 3, 4, 5]
 
 
 def test_train_cli_multi_device_smoke(tmp_path):
