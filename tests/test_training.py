@@ -119,6 +119,74 @@ def test_multi_device_train_step():
     assert float(n) == 16.0 and np.isfinite(float(sq))
 
 
+def test_val_step_masked_math():
+    """Padded (mask=0) samples must not contribute to the val sum/count, and
+    the masked result over a ragged tail must equal the plain mean."""
+    model = build_model(SMALL)
+    state, _ = _make_state(model)
+    val = make_val_step(model)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((6, 32, 32, 2)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0, 0.5, (6, 1)).astype(np.float32))
+
+    full = np.asarray(
+        val(state.params, state.batch_stats, x, y, jnp.ones((6,)))
+    )
+    # pad 2 garbage samples with mask 0: identical (sq_sum, count)
+    xp = jnp.concatenate([x, jnp.full((2, 32, 32, 2), 1e6, jnp.float32)])
+    yp = jnp.concatenate([y, jnp.full((2, 1), -9.0, jnp.float32)])
+    mask = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0], jnp.float32)
+    padded = np.asarray(val(state.params, state.batch_stats, xp, yp, mask))
+    assert padded[1] == 6.0
+    np.testing.assert_allclose(padded[0], full[0], rtol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint/load_checkpoint restore the exact pytree + metadata."""
+    from crosstalk_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    model = build_model(SMALL)
+    state, _ = _make_state(model)
+    meta = {"epoch": 3, "global_step": 12, "best_val_loss": 0.5,
+            "epochs_without_improvement": 1, "train_losses": [1.0, 0.9],
+            "val_losses": [1.1, 0.8], "lr_history": [1e-4, 1e-4],
+            "schedule": {"epoch": 2, "plateau": {"lr": 1e-4, "best": 0.8,
+                                                 "num_bad_epochs": 0}}}
+    save_checkpoint(str(tmp_path), state, meta)
+
+    template, _ = _make_state(model, seed=1)  # different values, same tree
+    restored = load_checkpoint(str(tmp_path), template)
+    assert restored is not None
+    rstate, rmeta = restored
+    assert rmeta == meta
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(rstate.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(rstate.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert load_checkpoint(str(tmp_path / "nope"), template) is None
+
+
+def test_training_log_resume_trims_crashed_rows(tmp_path):
+    """Resume keeps rows <= the restored epoch and drops later (pre-crash)
+    rows; a fresh log still writes the 4 metadata rows + header."""
+    from crosstalk_tpu.io.artifacts import TrainingLog
+
+    log = TrainingLog(str(tmp_path), "ts1", 8, 1e-3, "onecycle", {"a": 1})
+    for e in range(1, 5):  # epochs 1-4 logged; pretend checkpoint is at 2
+        log.log_epoch(e, 1.0 / e, 2.0 / e, 1e-3)
+    log.close()
+
+    log2 = TrainingLog(str(tmp_path), "ts1", 8, 1e-3, "onecycle", {"a": 1},
+                       resume_from_epoch=2)
+    log2.log_epoch(3, 0.3, 0.4, 1e-3)
+    log2.close()
+    with open(log2.path) as f:
+        rows = list(csv.reader(f))
+    assert rows[4] == ["epoch", "train_loss", "val_loss", "learning_rate"]
+    assert [r[0] for r in rows[5:]] == ["1", "2", "3"]
+    assert rows[7][1] == "0.3"  # the re-trained epoch 3 row, not the old one
+
+
 @pytest.fixture(scope="module")
 def trained_run(tmp_path_factory):
     """One small end-to-end CLI training run shared by the contract tests."""
