@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fast", action="store_true",
                         help="Use the bf16 serving path (folded-BN forward, "
                              "~6x faster; predictions within ~1e-4 of f32)")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="Data-parallel device count for inference "
+                             "(default: all visible devices)")
     parser.add_argument("--debug_nans", action="store_true",
                         help="Fail fast on NaN/Inf in compiled computations")
     return parser
@@ -89,7 +92,8 @@ def main(argv=None) -> int:
     enable_compilation_cache()
 
     device = jax.devices()[0]
-    print(f"Using device: {device.platform}:{device.device_kind}")
+    n_dev = args.num_devices or len(jax.devices())
+    print(f"Using device: {device.platform}:{device.device_kind} x{n_dev}")
 
     model_cfg = ModelConfig(
         variant=args.model_options, compute_dtype=args.compute_dtype
@@ -133,12 +137,16 @@ def main(argv=None) -> int:
         on_tpu = device.platform in ("tpu", "axon")
         forward_fn = make_fast_forward(model_cfg, use_pallas=on_tpu)
 
+    from crosstalk_tpu.parallel.mesh import data_mesh
+
+    mesh = data_mesh(n_dev) if n_dev > 1 else None
+
     print("\n--- Evaluating Model ---")
     evaluate_and_save(
         model, variables, store,
         dataset_name="test", output_dir=output_dir, ts=ts,
         batch_size=args.batch_size, with_metrics=True,
-        forward_fn=forward_fn,
+        forward_fn=forward_fn, mesh=mesh,
     )
     return 0
 

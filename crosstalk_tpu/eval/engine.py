@@ -59,6 +59,7 @@ def evaluate(
     batch_size: int = 64,
     with_metrics: bool = True,
     forward_fn=None,
+    mesh=None,
 ) -> Tuple[List[Dict], float]:
     """-> (per-sample rows in dataset order, mean MSE loss).
 
@@ -69,6 +70,11 @@ def evaluate(
 
     ``forward_fn(variables, batch) -> (B, 1)`` overrides the model apply —
     used to route through the fast serving path (eval/fast_forward.py).
+
+    ``mesh`` enables data-parallel evaluation: batches are sharded over the
+    mesh's 'data' axis (variables replicated) and GSPMD partitions the
+    forward + metrics across chips — per-sample outputs and CSV order are
+    unchanged. ``batch_size`` is rounded to a multiple of the mesh size.
     """
     apply_fn = forward_fn or _default_forward(model)
 
@@ -77,7 +83,15 @@ def evaluate(
     total_n = 0
     batch_size = min(batch_size, max(1, len(store)))
 
-    for batch in device_prefetch(iterate_batches(store, batch_size)):
+    sharding = None
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_size = max((batch_size // mesh.size) * mesh.size, mesh.size)
+        sharding = NamedSharding(mesh, P("data"))
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+
+    for batch in device_prefetch(iterate_batches(store, batch_size), sharding=sharding):
         out = _eval_step(
             apply_fn, variables, batch.inputs, batch.labels, batch.mask, with_metrics
         )
@@ -120,6 +134,7 @@ def evaluate_and_save(
     with_metrics: bool = True,
     train_suffix: Optional[str] = None,
     forward_fn=None,
+    mesh=None,
 ) -> float:
     """Full reference behavior: evaluate, write the predictions CSV, and
     render the plot(s). ``train_suffix`` ('{ts}_{bs}_{lr}') selects the
@@ -130,7 +145,8 @@ def evaluate_and_save(
     from crosstalk_tpu.io import artifacts
 
     rows, loss = evaluate(
-        model, variables, store, batch_size, with_metrics, forward_fn=forward_fn
+        model, variables, store, batch_size, with_metrics,
+        forward_fn=forward_fn, mesh=mesh,
     )
     print(f"Final {dataset_name.capitalize()} Loss: {loss:.6f}")
 

@@ -113,6 +113,36 @@ def test_eval_cli_fast_path_on_cpu(cli_setup):
         assert abs(float(row["Predicted_Label"]) - by_id[int(row["Image_ID"])]) < 2e-2
 
 
+def test_evaluate_data_parallel_matches_single_device(cli_setup):
+    """evaluate(mesh=8-device) returns the same rows (order + values) as
+    single-device evaluation — GSPMD shards the batch, replicates params."""
+    from crosstalk_tpu.config import ModelConfig
+    from crosstalk_tpu.data.index import PairIndex
+    from crosstalk_tpu.data.pipeline import TileStore
+    from crosstalk_tpu.eval.engine import evaluate
+    from crosstalk_tpu.io.torch_convert import load_pth
+    from crosstalk_tpu.models import build_model
+    from crosstalk_tpu.parallel.mesh import data_mesh
+
+    _, mixed_dir, source_dir, ckpt, _ = cli_setup
+    model = build_model(ModelConfig(variant="single", compute_dtype="f32"))
+    variables = load_pth(ckpt, "single")
+    index = PairIndex(mixed_dir, source_dir)
+    store = TileStore(index.samples, jobs=1)
+
+    rows1, loss1 = evaluate(model, variables, store, batch_size=4)
+    rows8, loss8 = evaluate(
+        model, variables, store, batch_size=4, mesh=data_mesh(8)
+    )
+    assert len(rows1) == len(rows8) == 10
+    np.testing.assert_allclose(loss1, loss8, rtol=1e-5)
+    for r1, r8 in zip(rows1, rows8):
+        assert r1["Image_ID"] == r8["Image_ID"]
+        np.testing.assert_allclose(
+            r1["Predicted_Label"], r8["Predicted_Label"], atol=1e-5
+        )
+
+
 def test_eval_cli_missing_checkpoint(cli_setup, capsys):
     root, mixed_dir, source_dir, _, _ = cli_setup
     rc = eval_main([
