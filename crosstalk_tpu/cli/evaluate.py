@@ -132,10 +132,12 @@ def main(argv=None) -> int:
     if args.fast:
         from crosstalk_tpu.eval.fast_forward import make_fast_forward
 
-        # The Pallas input-block kernel is TPU-only (Mosaic); on other
-        # backends the serving path still runs (folded-BN bf16 XLA forward).
+        # The Pallas input-block kernel is TPU-only (Mosaic) and has no GSPMD
+        # partitioning rule, so it is used only for single-device inference;
+        # on other backends / sharded meshes the serving path still runs
+        # (folded-BN bf16 XLA forward, which GSPMD shards cleanly).
         on_tpu = device.platform in ("tpu", "axon")
-        forward_fn = make_fast_forward(model_cfg, use_pallas=on_tpu)
+        forward_fn = make_fast_forward(model_cfg, use_pallas=on_tpu and n_dev == 1)
 
     from crosstalk_tpu.parallel.mesh import data_mesh
 
