@@ -93,6 +93,10 @@ def main(argv=None) -> int:
 
     device = jax.devices()[0]
     n_dev = args.num_devices or len(jax.devices())
+    if n_dev > len(jax.devices()):
+        print(f"Error: --num_devices {n_dev} requested but only "
+              f"{len(jax.devices())} device(s) are visible.")
+        return 1
     print(f"Using device: {device.platform}:{device.device_kind} x{n_dev}")
 
     model_cfg = ModelConfig(

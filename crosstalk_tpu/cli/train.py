@@ -97,6 +97,10 @@ def main(argv=None) -> int:
 
     devices = jax.devices()
     n_dev = args.num_devices or len(devices)
+    if n_dev > len(devices):
+        print(f"Error: --num_devices {n_dev} requested but only "
+              f"{len(devices)} device(s) are visible.")
+        return 1
     print(f"Using device: {devices[0].platform} x{n_dev} ({devices[0].device_kind})")
 
     if not (abs(args.train_ratio + args.val_ratio) < 1.0):

@@ -1,0 +1,44 @@
+"""Smoke tests for the repo tooling (tools/make_dataset.py,
+tools/scale_bench.py) — the scale/pipeline evidence must not rot."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_make_dataset_layout(tmp_path):
+    from crosstalk_tpu.data.index import PairIndex
+    from tools.make_dataset import main as make_dataset
+
+    rc = make_dataset([str(tmp_path), "-n", "6", "--size", "32"])
+    assert rc in (0, None)
+    index = PairIndex(os.path.join(str(tmp_path), "Mixed"),
+                      os.path.join(str(tmp_path), "Source"))
+    assert len(index) == 6
+    # tiles decode and labels parse from the filenames
+    from crosstalk_tpu.data.pipeline import TileStore
+
+    store = TileStore(index.samples, jobs=2)
+    assert store.tiles.shape == (6, 32, 32, 2)
+    assert (store.labels > 0).all() and (store.labels <= 0.5).all()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CROSSTALK_RUN_SLOW"),
+    reason="minutes of CPU conv compute; set CROSSTALK_RUN_SLOW=1 to run",
+)
+def test_scale_bench_smoke():
+    """End-to-end pipeline bench runs (tiny: 24 pairs, 1 epoch, CPU)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scale_bench.py"),
+         "-n", "24", "-b", "8", "--epochs", "1"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "tiles/s end-to-end" in out.stdout

@@ -119,6 +119,45 @@ def test_multi_device_train_step():
     assert float(n) == 16.0 and np.isfinite(float(sq))
 
 
+def test_multi_device_train_step_two_branch():
+    """The two-branch model's shard_mapped step: psum-synced BN in both
+    branches + the big fused head run and keep the state replicated.
+    (Exact 1-vs-8-device equality is not expected: augmentation RNG is
+    deliberately decorrelated per shard via fold_in(axis_index).)"""
+    from crosstalk_tpu.parallel.mesh import data_mesh
+    from crosstalk_tpu.train.steps import batch_sharding, replicate_state
+
+    tiny = ModelConfig(variant="double", initial_filters_per_branch=4,
+                       compute_dtype="f32")
+    mesh = data_mesh(8)
+    model = build_model(tiny, axis_name="data")
+    state, tx = _make_state(build_model(tiny))
+    rng = np.random.default_rng(3)
+    inputs = rng.random((16, 32, 32, 2)).astype(np.float32)
+    labels = rng.uniform(0, 0.5, (16, 1)).astype(np.float32)
+
+    # snapshot before the step: donation may consume the aliased buffers
+    init_stats = np.asarray(jax.tree.leaves(state.batch_stats)[0]).copy()
+    stateN = replicate_state(state, mesh)
+    stepN = make_train_step(model, tx, mesh=mesh)
+    sharding = batch_sharding(mesh)
+    stateN, lossN = stepN(
+        stateN, jax.device_put(jnp.asarray(inputs), sharding),
+        jax.device_put(jnp.asarray(labels), sharding),
+        np.float32(1e-3), jax.random.key(0),
+    )
+    assert np.isfinite(float(lossN))
+    # params and psum-synced batch stats stay replicated across all shards
+    for leaf in (jax.tree.leaves(stateN.params)[0],
+                 jax.tree.leaves(stateN.batch_stats)[0]):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+    # batch stats actually moved off their init values
+    bn_mean = np.asarray(jax.tree.leaves(stateN.batch_stats)[0])
+    assert not np.allclose(bn_mean, init_stats)
+
+
 def test_val_step_masked_math():
     """Padded (mask=0) samples must not contribute to the val sum/count, and
     the masked result over a ragged tail must equal the plain mean."""
