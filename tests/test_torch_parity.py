@@ -146,3 +146,60 @@ def test_full_size_single_schema_and_shapes():
 def test_full_size_double_param_count():
     tmodel = TorchDouble()
     assert sum(p.numel() for p in tmodel.parameters()) == 137_388_801
+
+
+def test_train_mode_gradient_parity_vs_torch():
+    """The FULL training gradient (MSE loss, train-mode BatchNorm batch
+    statistics in the differentiated graph) matches torch autograd on
+    identical weights and batch — pins training semantics, not just eval.
+    Dropout is inert on both sides (torch modules set to eval; flax rate 0).
+    """
+    torch.manual_seed(11)
+    tmodel = burn_in_batch_stats(TorchSingle(**SMALL_SINGLE), 32)
+    tmodel.train()
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.eval()
+
+    rng = np.random.default_rng(3)
+    x = rng.random((8, 32, 32, 2)).astype(np.float32)
+    y = rng.uniform(0, 0.5, (8, 1)).astype(np.float32)
+
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    loss_t = torch.nn.MSELoss()(tmodel(xt), torch.from_numpy(y))
+    loss_t.backward()
+    tgrads = {k: p.grad.numpy() for k, p in tmodel.named_parameters()}
+
+    variables = torch_to_flax(tmodel.state_dict(), "single")
+    cfg = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=3,
+                      compute_dtype="f32", dropout_single=0.0)
+    model = build_model(cfg)
+
+    def loss_fn(params):
+        preds, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x), train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(0)},
+        )
+        return jnp.mean(jnp.square(preds - jnp.asarray(y)))
+
+    loss_j, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+    # map the flax gradient tree into the torch key schema for comparison
+    jgrads = flax_to_torch(
+        {"params": grads, "batch_stats": variables["batch_stats"]}, "single"
+    )
+    compared = 0
+    for key, tg in tgrads.items():
+        jg = jgrads[key]
+        # biases immediately followed by BatchNorm have analytically-zero
+        # gradients (BN is shift-invariant) — both sides return f32
+        # cancellation noise there, so the bound is absolute.
+        tol = max(1e-5, 1e-4 * float(np.abs(tg).max()))
+        assert float(np.abs(jg - tg).max()) <= tol, (
+            f"gradient mismatch for {key}: "
+            f"maxdiff {np.abs(jg - tg).max():.3e} > {tol:.3e}"
+        )
+        compared += 1
+    assert compared == len(tgrads) > 20
