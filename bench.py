@@ -152,6 +152,7 @@ def main() -> None:
                 "train_tps": round(train_tps, 1),
                 "infer_batch": infer_batch,
                 "train_batch": train_batch,
+                "device": jax.devices()[0].device_kind,
             }
         )
     )
