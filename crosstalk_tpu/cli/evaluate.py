@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_devices", type=int, default=None,
                         help="Data-parallel device count for inference "
                              "(default: all visible devices)")
+    parser.add_argument("--cache_dir", type=str, default=None,
+                        help="Directory for the packed decoded-tile cache "
+                             "(memory-mapped; repeat runs skip TIFF decode)")
     parser.add_argument("--debug_nans", action="store_true",
                         help="Fail fast on NaN/Inf in compiled computations")
     return parser
@@ -130,7 +133,8 @@ def main(argv=None) -> int:
     )
     print(f"Model architecture summary saved to {output_dir}/model_architecture.txt")
 
-    store = TileStore(index.samples, jobs=args.cpu_jobs)
+    store = TileStore(index.samples, jobs=args.cpu_jobs,
+                      cache_dir=args.cache_dir)
 
     forward_fn = None
     if args.fast:

@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--checkpoint_every", type=int, default=1,
                         help="Native-resume checkpoint cadence in epochs "
                              "(the final epoch always checkpoints)")
+    parser.add_argument("--cache_dir", type=str, default=None,
+                        help="Directory for the packed decoded-tile cache "
+                             "(memory-mapped; repeat runs skip TIFF decode)")
     parser.add_argument("--debug_nans", action="store_true",
                         help="Fail fast on NaN/Inf in compiled computations")
     return parser
@@ -169,7 +172,8 @@ def main(argv=None) -> int:
         if not samples:
             print("Error: SplitCrosstalkDataset received no samples.")
             return 1
-        stores[name] = TileStore(samples, jobs=args.cpu_jobs)
+        stores[name] = TileStore(samples, jobs=args.cpu_jobs,
+                                 cache_dir=args.cache_dir)
         print(f"SplitCrosstalkDataset created with {len(samples)} samples.")
     print("Dataloaders created for training, validation, and testing.")
 

@@ -11,6 +11,15 @@ interop (io/torch_convert.py).
 Format: the TrainState pytree as flax msgpack, with a JSON sidecar for the
 host-side scalars. Writes are atomic (tmp + rename) so a kill mid-save never
 corrupts the latest checkpoint.
+
+Why flax msgpack rather than Orbax (the usual TPU choice, SURVEY.md §5):
+this workload is single-host with at most ~1.6 GB of state (the 137M-param
+model + Adam moments); a synchronous atomic write costs ~1-2 s/epoch worst
+case and `--checkpoint_every` amortizes it. Orbax's value — async multi-host
+array gathering, sharded checkpoint layouts, version migration — buys
+nothing at this scale, and one msgpack file + one JSON sidecar is easier to
+inspect and to keep byte-stable. If multi-host training is ever added
+(parallel/mesh.py notes the jax.distributed extension), switch to Orbax.
 """
 
 from __future__ import annotations

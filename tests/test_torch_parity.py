@@ -80,7 +80,7 @@ def test_roundtrip_flax_to_torch_to_flax():
 
     sd = flax_to_torch(variables, "single")
     tmodel2 = TorchSingle(**SMALL_SINGLE)
-    tmodel2.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()})
+    tmodel2.load_state_dict({k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()})
     tmodel2.eval()
 
     rng = np.random.default_rng(2)
@@ -184,7 +184,7 @@ def test_train_mode_gradient_parity_vs_torch():
         return jnp.mean(jnp.square(preds - jnp.asarray(y)))
 
     loss_j, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
-    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()), rtol=1e-5)
 
     # map the flax gradient tree into the torch key schema for comparison
     jgrads = flax_to_torch(
