@@ -64,6 +64,7 @@ def main() -> None:
     variables = init_model(model, jax.random.key(0), image_size=256, batch=2)
 
     SCAN_LEN = 16
+    INFER_SCAN_LEN = 32  # longer scan amortizes the fixed scan-entry cost
 
     # ---------- inference (serving path) ----------
     fast = make_fast_forward(cfg, use_pallas=True)
@@ -77,7 +78,7 @@ def main() -> None:
             preds = fast(variables, normalize_batch_nhwc(xi))
             return acc + jnp.sum(preds), None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(SCAN_LEN))
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(INFER_SCAN_LEN))
         return acc
 
     infer_jit = jax.jit(infer_scan)
@@ -96,7 +97,7 @@ def main() -> None:
             if "RESOURCE_EXHAUSTED" not in str(e) or infer_batch <= 16:
                 raise
             infer_batch //= 2
-    infer_tps = SCAN_LEN * infer_batch / dt
+    infer_tps = INFER_SCAN_LEN * infer_batch / dt
 
     # ---------- training step ----------
     tx = make_optimizer(OptimConfig())
