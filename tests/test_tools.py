@@ -27,6 +27,28 @@ def test_make_dataset_layout(tmp_path):
     assert (store.labels > 0).all() and (store.labels <= 0.5).all()
 
 
+def test_make_pretrained_artifact(tmp_path):
+    """tools/make_pretrained.py regenerates the reference's missing
+    PreTrained_Model artifact (naming contract train_model.py:645-646)."""
+    import glob
+
+    import torch
+
+    from tests.conftest import make_synthetic_dataset
+    from tools.make_pretrained import main as make_pretrained
+
+    mixed, source = make_synthetic_dataset(str(tmp_path), n=12, size=64, seed=9)
+    out = str(tmp_path / "PreTrained_Model")
+    rc = make_pretrained([
+        "-m", mixed, "-s", source, "-o", "single", "-b", "8", "-l", "5e-4",
+        "-n", "1", "-j", "2", "--out", out,
+    ])
+    assert rc == 0
+    (pth,) = glob.glob(os.path.join(out, "crosstalk_regression_model_trained_*_8_0.0005.pth"))
+    sd = torch.load(pth, map_location="cpu", weights_only=True)
+    assert any(k.startswith("conv_layers.0.") for k in sd)
+
+
 @pytest.mark.skipif(
     not os.environ.get("CROSSTALK_RUN_SLOW"),
     reason="minutes of CPU conv compute; set CROSSTALK_RUN_SLOW=1 to run",
