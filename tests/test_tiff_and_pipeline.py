@@ -30,6 +30,7 @@ def test_tiff_roundtrip(tmp_path):
         np.testing.assert_array_equal(back, img)
 
 
+@pytest.mark.filterwarnings("ignore::DeprecationWarning")  # imageio vendored tifffile
 def test_fast_reader_matches_imageio_on_reference(reference_data_dirs):
     import glob
     import imageio.v3 as iio
