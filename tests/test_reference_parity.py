@@ -1,0 +1,240 @@
+"""Parity against the reference's ACTUAL code (not the hand-written twins).
+
+Two layers of proof:
+
+1. In-process numeric parity: import /root/reference/regression_model.py and
+   two_branch_regression.py directly, build the instantiated configs the
+   reference CLIs use (test-cross-talk-model.py:256-258 — single: 128
+   filters / 6 blocks; double: 64 filters/branch), convert the state_dict
+   with ``torch_to_flax``, and compare eval-mode predictions on real tiles
+   at full 256x256 to well under the 1e-4 MAE budget (BASELINE.md).
+   The reference's ``_get_conv_output`` hardcodes 256x256 inputs
+   (regression_model.py:31, two_branch_regression.py:60), so full-size
+   tiles are mandatory here.
+
+2. CLI-level cross-check: run the reference's actual
+   test-cross-talk-model.py as a subprocess on a repo-exported .pth
+   and diff its prediction CSV against our eval CLI's on the same data.
+   skimage is not installed in this image, so the subprocess gets a tiny
+   shim implementing skimage.metrics.structural_similarity (the published
+   algorithm, 7x7 uniform window — same rederivation as test_metrics.py).
+"""
+
+import csv
+import glob
+import importlib.util
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from crosstalk_tpu.config import ModelConfig
+from crosstalk_tpu.io.torch_convert import save_pth, torch_to_flax
+from crosstalk_tpu.models import build_model
+
+REFERENCE = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SSIM_SHIM = '''\
+"""Minimal stand-in for skimage.metrics (not installed in this image).
+
+structural_similarity follows the published SSIM algorithm with skimage's
+defaults: 7x7 uniform window, unbiased covariance, border-cropped mean.
+"""
+import numpy as np
+from scipy.ndimage import uniform_filter
+
+
+def structural_similarity(im1, im2, data_range=None, win_size=7, K1=0.01, K2=0.03):
+    x = np.asarray(im1, dtype=np.float64)
+    y = np.asarray(im2, dtype=np.float64)
+    if data_range is None:
+        raise ValueError("data_range is required")
+    n = win_size * win_size
+    cov_norm = n / (n - 1)
+    f = lambda a: uniform_filter(a, size=win_size)
+    ux, uy = f(x), f(y)
+    vx = cov_norm * (f(x * x) - ux * ux)
+    vy = cov_norm * (f(y * y) - uy * uy)
+    vxy = cov_norm * (f(x * y) - ux * uy)
+    c1 = (K1 * data_range) ** 2
+    c2 = (K2 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux ** 2 + uy ** 2 + c1) * (vx + vy + c2))
+    pad = (win_size - 1) // 2
+    return s[pad:-pad, pad:-pad].mean()
+'''
+
+
+def _import_reference_module(name):
+    spec = importlib.util.spec_from_file_location(
+        f"reference_{name}", os.path.join(REFERENCE, f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _randomize_running_stats(tmodel, seed):
+    """Give every BatchNorm non-trivial running statistics so the parity
+    check exercises the stats-conversion path, without paying for a full
+    train-mode burn-in at 256px."""
+    rng = np.random.default_rng(seed)
+    sd = tmodel.state_dict()
+    for key, value in sd.items():
+        if key.endswith("running_mean"):
+            sd[key] = torch.from_numpy(
+                rng.normal(0, 0.05, value.shape).astype(np.float32))
+        elif key.endswith("running_var"):
+            sd[key] = torch.from_numpy(
+                rng.uniform(0.5, 1.5, value.shape).astype(np.float32))
+    tmodel.load_state_dict(sd)
+    return tmodel
+
+
+def _real_tile_batch(reference_data_dirs, n=4):
+    """n real tiles from the bundled dataset, min-max normalized per channel
+    (the reference's val/test transform, test-cross-talk-model.py:210-225)."""
+    from crosstalk_tpu.data.index import PairIndex
+    from crosstalk_tpu.data.pipeline import TileStore
+
+    mixed_dir, source_dir = reference_data_dirs
+    index = PairIndex(mixed_dir, source_dir, max_samples=n)
+    store = TileStore(index.samples, jobs=1)
+    tiles = np.asarray(store.tiles, dtype=np.float32)
+    lo = tiles.min(axis=(1, 2), keepdims=True)
+    hi = tiles.max(axis=(1, 2), keepdims=True)
+    return (tiles - lo) / (hi - lo)
+
+
+def _torch_eval(tmodel, x_nhwc):
+    x = torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        return tmodel(x).numpy()
+
+
+@pytest.mark.parametrize("variant", ["single", "double"])
+def test_reference_module_numeric_parity(variant, reference_data_dirs):
+    """Full instantiated config, real reference nn.Module, real tiles:
+    eval-mode predictions must agree to far under the 1e-4 MAE budget."""
+    torch.manual_seed(21 if variant == "single" else 22)
+    if variant == "single":
+        ref = _import_reference_module("regression_model")
+        tmodel = ref.AdvancedRegressionModel(initial_filters=128, num_conv_blocks=6)
+        cfg = ModelConfig(variant="single", compute_dtype="f32")
+    else:
+        ref = _import_reference_module("two_branch_regression")
+        tmodel = ref.SimplifiedTwoBranchRegressionModel(initial_filters_per_branch=64)
+        cfg = ModelConfig(variant="double", compute_dtype="f32")
+    tmodel = _randomize_running_stats(tmodel, seed=5)
+    tmodel.eval()
+
+    variables = torch_to_flax(tmodel.state_dict(), variant)
+    model = build_model(cfg)
+
+    x = _real_tile_batch(reference_data_dirs, n=4)
+    ours = np.asarray(
+        jax.jit(lambda v, a: model.apply(v, a, train=False))(variables, jnp.asarray(x))
+    )
+    theirs = _torch_eval(tmodel, x)
+
+    mae = float(np.abs(ours - theirs).mean())
+    assert mae < 1e-4, f"{variant}: MAE {mae:.3e} vs reference module"
+    assert float(np.abs(ours - theirs).max()) < 5e-4
+
+
+def test_reference_eval_cli_cross_parity(tmp_path, reference_data_dirs):
+    """The reference's actual test-cross-talk-model.py, run as a subprocess
+    on a .pth exported by THIS framework, must produce the same predictions
+    as our eval CLI on the same data (strict-load proves schema fidelity;
+    CSV diff proves numeric fidelity)."""
+    mixed_src, source_src = reference_data_dirs
+
+    # small real-data subset (symlinks keep it cheap)
+    mixed_dir = tmp_path / "Mixed"
+    source_dir = tmp_path / "Source"
+    mixed_dir.mkdir()
+    source_dir.mkdir()
+    n_pairs = 6
+    for name in sorted(os.listdir(mixed_src))[:n_pairs]:
+        stem = name.replace("_mixed.tif", "")
+        os.symlink(os.path.join(mixed_src, name), mixed_dir / name)
+        os.symlink(
+            os.path.join(source_src, f"{stem}_source.tif"),
+            source_dir / f"{stem}_source.tif",
+        )
+
+    # a full-size single-branch checkpoint exported by our converter
+    torch.manual_seed(23)
+    ref = _import_reference_module("regression_model")
+    tmodel = _randomize_running_stats(
+        ref.AdvancedRegressionModel(initial_filters=128, num_conv_blocks=6), seed=9
+    )
+    variables = torch_to_flax(tmodel.state_dict(), "single")
+    ckpt = str(tmp_path / "exported.pth")
+    save_pth(ckpt, variables, "single")
+
+    # reference CLI subprocess (with the skimage shim on its path)
+    shim = tmp_path / "shim" / "skimage"
+    shim.mkdir(parents=True)
+    (shim / "__init__.py").write_text("")
+    (shim / "metrics.py").write_text(SSIM_SHIM)
+    ref_cwd = tmp_path / "ref_run"
+    ref_cwd.mkdir()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{tmp_path / 'shim'}:{REFERENCE}"
+    env["MPLBACKEND"] = "Agg"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REFERENCE, "test-cross-talk-model.py"),
+         "-m", str(mixed_dir), "-s", str(source_dir), "-p", ckpt,
+         "-j", "0", "-o", "single"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=str(ref_cwd),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    (ref_csv,) = glob.glob(str(ref_cwd / "eval_run_*" / "test_predictions_*.csv"))
+
+    # our eval CLI on the same data + checkpoint
+    from crosstalk_tpu.cli.evaluate import main as eval_main
+
+    out_base = str(tmp_path / "ours")
+    rc = eval_main([
+        "-m", str(mixed_dir), "-s", str(source_dir), "-p", ckpt,
+        "-j", "1", "-o", "single", "--output_base", out_base,
+        "--batch_size", "4",
+    ])
+    assert rc == 0
+    (our_csv,) = glob.glob(os.path.join(out_base, "eval_run_*", "test_predictions_*.csv"))
+
+    def rows_by_key(path):
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        return {
+            (int(r["Image_ID"]), round(float(r["Actual_Label"]), 4)): r
+            for r in rows
+        }
+
+    theirs = rows_by_key(ref_csv)
+    ours = rows_by_key(our_csv)
+    assert set(theirs) == set(ours) and len(theirs) == n_pairs
+
+    pred_diffs = []
+    for key, trow in theirs.items():
+        orow = ours[key]
+        pred_diffs.append(
+            abs(float(trow["Predicted_Label"]) - float(orow["Predicted_Label"]))
+        )
+        for field in ["Root Mean Squared Error", "Structural Similarity Index",
+                      "Histogram Correlation", "Normalized Mutual Information",
+                      "Pearsons Correlation"]:
+            assert abs(float(trow[field]) - float(orow[field])) < 2e-3, (
+                f"{field} mismatch for {key}: {trow[field]} vs {orow[field]}"
+            )
+    assert float(np.mean(pred_diffs)) < 1e-4, pred_diffs
+    assert float(np.max(pred_diffs)) < 5e-4, pred_diffs
