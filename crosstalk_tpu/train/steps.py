@@ -58,15 +58,23 @@ def init_train_state(model, variables, tx) -> TrainState:
     )
 
 
-def _train_core(model, tx, axis_name: Optional[str]):
-    """The per-shard training step body."""
+def _train_core(model, tx, axis_name: Optional[str], augment: bool = True):
+    """The per-shard training step body.
+
+    ``augment=False`` skips the random flips, making the step a pure
+    function of (state, batch) — this is what lets the N-device == 1-device
+    equivalence claim in the module docstring be asserted numerically
+    (tests/test_training.py) rather than only stated.
+    """
 
     def step_fn(state: TrainState, inputs, labels, lr, rng):
         if axis_name is not None:
             # decorrelate augmentation/dropout across shards
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         aug_rng, dropout_rng = jax.random.split(rng)
-        batch = paired_random_flips(aug_rng, normalize_batch_nhwc(inputs))
+        batch = normalize_batch_nhwc(inputs)
+        if augment:
+            batch = paired_random_flips(aug_rng, batch)
 
         def loss_fn(params):
             preds, mut = model.apply(
@@ -119,7 +127,8 @@ def _val_core(model, axis_name: Optional[str]):
     return step_fn
 
 
-def make_train_step(model, tx, mesh=None, axis_name: str = "data"):
+def make_train_step(model, tx, mesh=None, axis_name: str = "data",
+                    augment: bool = True):
     """-> jitted fn(state, inputs, labels, lr, rng) -> (state, loss).
 
     With a mesh, the function is shard_mapped over it: call it with the
@@ -127,10 +136,10 @@ def make_train_step(model, tx, mesh=None, axis_name: str = "data"):
     state replicated. The state argument is donated.
     """
     if mesh is None:
-        core = _train_core(model, tx, axis_name=None)
+        core = _train_core(model, tx, axis_name=None, augment=augment)
         return jax.jit(core, donate_argnums=0)
 
-    core = _train_core(model, tx, axis_name=axis_name)
+    core = _train_core(model, tx, axis_name=axis_name, augment=augment)
     mapped = jax.shard_map(
         core,
         mesh=mesh,

@@ -119,6 +119,74 @@ def test_multi_device_train_step():
     assert float(n) == 16.0 and np.isfinite(float(sq))
 
 
+def test_multi_device_step_numerically_matches_single_device():
+    """The 8-device shard_mapped step (psum-synced BN, pmean grads/loss)
+    matches a 1-device step on the identical global batch — the
+    'single-device-equivalent semantics' claim in steps.py made numeric.
+
+    Augmentation is off (augment=False) and dropout is 0 so both paths are
+    deterministic functions of the batch. The optimizer is an identity
+    transform, so new_params = p - lr*grad and the param diff IS the
+    gradient diff scaled by lr: this pins gradient equality through the
+    real step code. (Adam itself is excluded on purpose: its first-step
+    g/(|g|+eps) direction flips sign under f32 reduction-order noise
+    wherever the true gradient is ~0, e.g. BN-shift-invariant biases —
+    that ill-conditioning is inherent, not a sharding bug.)"""
+    import optax
+
+    from crosstalk_tpu.parallel.mesh import data_mesh
+    from crosstalk_tpu.train.steps import (
+        batch_sharding,
+        init_train_state,
+        replicate_state,
+    )
+
+    cfg = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=3,
+                      compute_dtype="f32", dropout_single=0.0)
+    mesh = data_mesh(8)
+    model1 = build_model(cfg)
+    modelN = build_model(cfg, axis_name="data")
+    tx = optax.identity()
+    variables = init_model(model1, jax.random.key(4), image_size=32)
+    state = init_train_state(model1, variables, tx)
+    # the step donates its state argument — give each path its own copy
+    state1 = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
+    stateN = replicate_state(
+        jax.tree.map(lambda x: jnp.array(x, copy=True), state), mesh)
+
+    step1 = make_train_step(model1, tx, augment=False)
+    stepN = make_train_step(modelN, tx, mesh=mesh, augment=False)
+    sharding = batch_sharding(mesh)
+
+    rng = np.random.default_rng(5)
+    for i in range(2):
+        inputs = rng.random((16, 32, 32, 2)).astype(np.float32)
+        labels = rng.uniform(0, 0.5, (16, 1)).astype(np.float32)
+        state1, loss1 = step1(state1, jnp.asarray(inputs), jnp.asarray(labels),
+                              np.float32(1e-3), jax.random.key(i))
+        stateN, lossN = stepN(
+            stateN, jax.device_put(jnp.asarray(inputs), sharding),
+            jax.device_put(jnp.asarray(labels), sharding),
+            np.float32(1e-3), jax.random.key(i),
+        )
+        # f32 reduction-order noise only (shard-mean + pmean vs global mean)
+        np.testing.assert_allclose(float(loss1), float(lossN), rtol=1e-4)
+
+    # params: |diff| = lr * |grad_1 - grad_N| -> gradient agreement to ~1e-4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7),
+        state1.params, stateN.params,
+    )
+    # psum-synced BN running stats == global-batch running stats
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        state1.batch_stats, stateN.batch_stats,
+    )
+    assert int(state1.step) == int(stateN.step) == 2
+
+
 def test_multi_device_train_step_two_branch():
     """The two-branch model's shard_mapped step: psum-synced BN in both
     branches + the big fused head run and keep the state replicated.
