@@ -113,6 +113,50 @@ def test_eval_cli_fast_path_on_cpu(cli_setup):
         assert abs(float(row["Predicted_Label"]) - by_id[int(row["Image_ID"])]) < 2e-2
 
 
+def test_eval_cli_end_to_end_double(cli_setup):
+    """BASELINE config #2 at CLI level: -o double runs the two-branch model
+    through the full eval pipeline with prediction parity vs torch."""
+    from tests.torch_ref import TorchDouble
+
+    root, mixed_dir, source_dir, _, _ = cli_setup
+    torch.manual_seed(4)
+    tmodel = TorchDouble(image_size=64)  # full instantiated width, 64px tiles
+    burn_in_batch_stats(tmodel, 64, steps=2)
+    ckpt = str(root / "double.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    out_base = str(root / "out_double")
+    rc = eval_main([
+        "-m", mixed_dir, "-s", source_dir, "-p", ckpt, "-j", "2", "-o", "double",
+        "--output_base", out_base, "--batch_size", "4",
+    ])
+    assert rc == 0
+
+    (csv_path,) = glob.glob(
+        os.path.join(out_base, "eval_run_*", "test_predictions_*.csv"))
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert list(rows[0].keys()) == EVAL_FIELDNAMES
+    assert len(rows) == 10
+
+    from crosstalk_tpu.data.index import PairIndex
+    from crosstalk_tpu.data.pipeline import TileStore
+
+    index = PairIndex(mixed_dir, source_dir)
+    store = TileStore(index.samples, jobs=1)
+    tiles = np.asarray(store.tiles)
+    lo = tiles.min(axis=(1, 2), keepdims=True)
+    hi = tiles.max(axis=(1, 2), keepdims=True)
+    batch = (tiles - lo) / (hi - lo)
+    with torch.no_grad():
+        golden = tmodel(torch.from_numpy(batch.transpose(0, 3, 1, 2))).numpy().ravel()
+    by_id = {int(s.image_id): g for s, g in zip(index.samples, golden)}
+    for row in rows:
+        pred = float(row["Predicted_Label"])
+        assert abs(pred - by_id[int(row["Image_ID"])]) < 1e-4
+        assert 0.0 <= pred <= 0.5  # sigmoid*0.5 head range
+
+
 def test_evaluate_data_parallel_matches_single_device(cli_setup):
     """evaluate(mesh=8-device) returns the same rows (order + values) as
     single-device evaluation — GSPMD shards the batch, replicates params."""
