@@ -84,7 +84,7 @@ def main(argv=None) -> int:
     from crosstalk_tpu.eval.engine import evaluate_and_save
     from crosstalk_tpu.io import artifacts
     from crosstalk_tpu.io.torch_convert import load_pth
-    from crosstalk_tpu.models import architecture_summary, build_model
+    from crosstalk_tpu.models import build_model, torch_style_repr
     from crosstalk_tpu.utils.profiling import enable_debug_checks
 
     if args.debug_nans:
@@ -128,9 +128,7 @@ def main(argv=None) -> int:
     except (FileNotFoundError, KeyError) as e:
         print(f"Error loading model from {args.model_path}: {e}")
         return 1
-    artifacts.write_architecture_txt(
-        output_dir, architecture_summary(model, variables)
-    )
+    artifacts.write_architecture_txt(output_dir, torch_style_repr(model_cfg))
     print(f"Model architecture summary saved to {output_dir}/model_architecture.txt")
 
     store = TileStore(index.samples, jobs=args.cpu_jobs,

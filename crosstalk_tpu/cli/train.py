@@ -85,7 +85,7 @@ def main(argv=None) -> int:
     from crosstalk_tpu.eval.engine import evaluate_and_save
     from crosstalk_tpu.io import artifacts
     from crosstalk_tpu.io.torch_convert import load_pth, save_pth
-    from crosstalk_tpu.models import architecture_summary, build_model, init_model
+    from crosstalk_tpu.models import build_model, init_model, torch_style_repr
     from crosstalk_tpu.parallel.mesh import data_mesh
     from crosstalk_tpu.train.loop import train_model
     from crosstalk_tpu.train.steps import init_train_state, make_optimizer
@@ -189,7 +189,7 @@ def main(argv=None) -> int:
     tx = make_optimizer(optim_cfg)
     image_size = int(stores["train"].tiles.shape[1])  # size the head from data
     variables = init_model(model, jax.random.key(args.seed), image_size=image_size)
-    artifacts.write_architecture_txt(run_dir, architecture_summary(model, variables))
+    artifacts.write_architecture_txt(run_dir, torch_style_repr(model_cfg))
     print(f"Model architecture summary saved to {run_dir}/model_architecture.txt")
     state = init_train_state(model, variables, tx)
 

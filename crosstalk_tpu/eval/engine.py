@@ -26,6 +26,7 @@ import numpy as np
 from crosstalk_tpu.data.pipeline import TileStore, device_prefetch, iterate_batches
 from crosstalk_tpu.data.transforms import normalize_batch_nhwc
 from crosstalk_tpu.ops.metrics import classical_metrics
+from crosstalk_tpu.utils.progress import progress
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "with_metrics"))
@@ -60,6 +61,7 @@ def evaluate(
     with_metrics: bool = True,
     forward_fn=None,
     mesh=None,
+    desc: Optional[str] = None,
 ) -> Tuple[List[Dict], float]:
     """-> (per-sample rows in dataset order, mean MSE loss).
 
@@ -91,7 +93,11 @@ def evaluate(
         sharding = NamedSharding(mesh, P("data"))
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
 
-    for batch in device_prefetch(iterate_batches(store, batch_size), sharding=sharding):
+    batches = device_prefetch(iterate_batches(store, batch_size), sharding=sharding)
+    if desc is not None:
+        batches = progress(batches, desc=desc,
+                           total=-(-len(store) // batch_size))
+    for batch in batches:
         out = _eval_step(
             apply_fn, variables, batch.inputs, batch.labels, batch.mask, with_metrics
         )
@@ -147,6 +153,7 @@ def evaluate_and_save(
     rows, loss = evaluate(
         model, variables, store, batch_size, with_metrics,
         forward_fn=forward_fn, mesh=mesh,
+        desc=f"{dataset_name.capitalize()} Set Evaluation",
     )
     print(f"Final {dataset_name.capitalize()} Loss: {loss:.6f}")
 

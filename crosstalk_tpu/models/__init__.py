@@ -1,6 +1,7 @@
 from crosstalk_tpu.models.layers import BatchNorm, ConvBlock, DenseBNBlock
 from crosstalk_tpu.models.registry import (
     architecture_summary,
+    torch_style_repr,
     build_model,
     count_params,
     init_model,
@@ -19,4 +20,5 @@ __all__ = [
     "init_model",
     "count_params",
     "architecture_summary",
+    "torch_style_repr",
 ]

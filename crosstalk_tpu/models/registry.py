@@ -72,9 +72,9 @@ def count_params(params) -> int:
 
 
 def architecture_summary(model, variables) -> str:
-    """Human-readable architecture description written to
-    model_architecture.txt (the reference writes torch's __repr__,
-    train_model.py:556-559; ours is the flax tabulate-style param listing)."""
+    """Flax param listing (kept for library users; the CLIs write
+    ``torch_style_repr`` to model_architecture.txt for content fidelity
+    with the reference)."""
     lines = [repr(model), "", "Parameters:"]
     flat = jax.tree_util.tree_flatten_with_path(variables.get("params", {}))[0]
     total = 0
@@ -83,4 +83,84 @@ def architecture_summary(model, variables) -> str:
         lines.append(f"  {name}: {tuple(leaf.shape)} {leaf.dtype}")
         total += leaf.size
     lines.append(f"Total trainable parameters: {total:,}")
+    return "\n".join(lines)
+
+
+def torch_style_repr(cfg: ModelConfig, image_size: int = 256) -> str:
+    """Re-creation of ``str(<reference torch module>)`` from the config.
+
+    The reference writes the torch ``__repr__`` to model_architecture.txt
+    (train_model.py:556-559, test-cross-talk-model.py:276-279); this
+    produces the same content without a torch dependency. Byte-equality
+    with the real reference modules is pinned in
+    tests/test_reference_parity.py. The flatten size uses 256x256 inputs
+    exactly like the reference's hardcoded dummy forward
+    (regression_model.py:31, two_branch_regression.py:60).
+    """
+    eps, mom, slope = cfg.bn_eps, cfg.bn_momentum, cfg.leaky_slope
+
+    def conv(cin, cout):
+        return (f"Conv2d({cin}, {cout}, kernel_size=(3, 3), "
+                f"stride=(1, 1), padding=(1, 1))")
+
+    def bn(ndim, c):
+        return (f"BatchNorm{ndim}d({c}, eps={eps}, momentum={mom}, "
+                f"affine=True, bias=True, track_running_stats=True)")
+
+    leaky = f"LeakyReLU(negative_slope={slope})"
+    pool = "MaxPool2d(kernel_size=2, stride=2, padding=0, dilation=1, ceil_mode=False)"
+
+    def seq(items, indent):
+        pad = " " * indent
+        return [f"{pad}({i}): {s}" for i, s in enumerate(items)]
+
+    def head_items(flat, p):
+        return [
+            "Flatten(start_dim=1, end_dim=-1)",
+            f"Linear(in_features={flat}, out_features=512, bias=True)",
+            bn(1, 512), leaky, f"Dropout(p={p}, inplace=False)",
+            "Linear(in_features=512, out_features=128, bias=True)",
+            bn(1, 128), leaky, f"Dropout(p={p}, inplace=False)",
+            "Linear(in_features=128, out_features=1, bias=True)",
+        ]
+
+    if cfg.variant == "single":
+        items = []
+        cin, cout = cfg.input_channels, cfg.initial_filters
+        items += [conv(cin, cout), bn(2, cout), leaky, pool]
+        for _ in range(1, cfg.num_conv_blocks):
+            cin, cout = cout, min(cout * 2, cfg.max_filters)
+            items += [conv(cin, cout), bn(2, cout), leaky, pool]
+        side = image_size >> cfg.num_conv_blocks
+        lines = ["AdvancedRegressionModel(", "  (conv_layers): Sequential("]
+        lines += seq(items, 4)
+        lines += ["  )", "  (fc_layers): Sequential("]
+        lines += seq(head_items(cout * side * side, cfg.dropout_single), 4)
+        lines += ["  )", ")"]
+        return "\n".join(lines)
+
+    f = cfg.initial_filters_per_branch
+    branch_items = []
+    cin = 1
+    for mult in (1, 2, 4, 8):
+        branch_items += [conv(cin, f * mult), bn(2, f * mult), leaky, pool]
+        cin = f * mult
+    side = image_size >> 4
+
+    def branch(name):
+        out = [f"  ({name}): SimplifiedFeatureExtractionBranch(",
+               "    (conv_blocks): Sequential("]
+        out += seq(branch_items, 6)
+        out += ["    )", "  )"]
+        return out
+
+    lines = ["SimplifiedTwoBranchRegressionModel("]
+    lines += branch("bleed_branch")
+    lines += branch("source_branch")
+    lines += ["  (regression_head): SimplifiedRegressionHead(",
+              "    (fc_layers): Sequential("]
+    lines += seq(
+        head_items(2 * f * 8 * side * side, cfg.dropout_double) + ["Sigmoid()"], 6
+    )
+    lines += ["    )", "  )", ")"]
     return "\n".join(lines)

@@ -31,6 +31,7 @@ from crosstalk_tpu.data.pipeline import TileStore, device_prefetch, iterate_batc
 from crosstalk_tpu.io import artifacts, checkpoint
 from crosstalk_tpu.io.torch_convert import save_pth
 from crosstalk_tpu.train.schedules import Schedule
+from crosstalk_tpu.utils.progress import progress
 from crosstalk_tpu.train.steps import (
     TrainState,
     batch_sharding,
@@ -114,12 +115,16 @@ def train_model(
 
         # ---- train pass: dispatch every step async, block once at the end
         step_losses = []
-        for batch in device_prefetch(
-            iterate_batches(
-                train_store, batch_size, shuffle=True,
-                drop_last=True, seed=seed, epoch=epoch,
+        for batch in progress(
+            device_prefetch(
+                iterate_batches(
+                    train_store, batch_size, shuffle=True,
+                    drop_last=True, seed=seed, epoch=epoch,
+                ),
+                sharding=sharding,
             ),
-            sharding=sharding,
+            desc=f"Epoch {epoch + 1}/{train_cfg.num_epochs} [Train]",
+            total=steps_per_epoch,
         ):
             lr = schedule.lr_for_step(global_step)
             rng = jax.random.fold_in(root_key, global_step)
@@ -136,8 +141,12 @@ def train_model(
         sq_sum, count = 0.0, 0.0
         # same batch size as training: iterate_batches pads the tail (and
         # small splits) with masked samples, keeping mesh divisibility
-        for batch in device_prefetch(
-            iterate_batches(val_store, batch_size), sharding=sharding
+        for batch in progress(
+            device_prefetch(
+                iterate_batches(val_store, batch_size), sharding=sharding
+            ),
+            desc=f"Epoch {epoch + 1}/{train_cfg.num_epochs} [Val]",
+            total=-(-len(val_store) // batch_size),
         ):
             s, c = val_step(
                 state.params, state.batch_stats,

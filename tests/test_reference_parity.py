@@ -150,6 +150,24 @@ def test_reference_module_numeric_parity(variant, reference_data_dirs):
     assert float(np.abs(ours - theirs).max()) < 5e-4
 
 
+@pytest.mark.parametrize("variant", ["single", "double"])
+def test_torch_style_repr_matches_reference_repr(variant):
+    """model_architecture.txt content fidelity: our generated torch-style
+    repr must be byte-identical to str() of the actual reference module
+    (what the reference writes, train_model.py:556-559)."""
+    from crosstalk_tpu.models import torch_style_repr
+
+    if variant == "single":
+        ref = _import_reference_module("regression_model")
+        tmodel = ref.AdvancedRegressionModel(initial_filters=128, num_conv_blocks=6)
+        cfg = ModelConfig(variant="single")
+    else:
+        ref = _import_reference_module("two_branch_regression")
+        tmodel = ref.SimplifiedTwoBranchRegressionModel(initial_filters_per_branch=64)
+        cfg = ModelConfig(variant="double")
+    assert torch_style_repr(cfg) == str(tmodel)
+
+
 def test_reference_eval_cli_cross_parity(tmp_path, reference_data_dirs):
     """The reference's actual test-cross-talk-model.py, run as a subprocess
     on a .pth exported by THIS framework, must produce the same predictions

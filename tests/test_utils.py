@@ -43,3 +43,12 @@ def test_throughput_meter():
     assert t.tiles_per_sec > 0
     t.reset()
     assert t.tiles_per_sec == 0.0
+
+
+def test_progress_wraps_and_preserves_items():
+    """The tqdm wrapper (reference UX: train_model.py:416,439) must not
+    alter the iterated items and must auto-disable on non-TTY stderr."""
+    from crosstalk_tpu.utils.progress import progress
+
+    items = list(progress(iter([1, 2, 3]), desc="Test Set Evaluation", total=3))
+    assert items == [1, 2, 3]
