@@ -83,11 +83,18 @@ class BatchNorm(nn.Module):
         else:
             # Stats are ACCUMULATED in f32 without materializing an f32 copy
             # of the activation (on a bf16 conv output that copy doubles the
-            # layer's HBM traffic — measured 6x end-to-end slowdown).
+            # layer's HBM traffic — measured 6x end-to-end slowdown). The
+            # squares must be TAKEN in f32 though (cast fuses into the
+            # reduction, still reading x once in bf16): squaring in bf16
+            # loses ~0.4% per element, and since post-LeakyReLU activations
+            # are mostly positive (E[x]^2 ~ E[x^2]), that error exceeds the
+            # true variance and E[x^2]-E[x]^2 goes negative -> rsqrt = NaN.
             n = math.prod(x.shape[:-1])
             total = jnp.asarray(n, jnp.float32)
             s = jnp.sum(x, axis=reduce_axes, dtype=jnp.float32)
-            sq = jnp.sum(x * x, axis=reduce_axes, dtype=jnp.float32)
+            sq = jnp.sum(
+                jnp.square(x.astype(jnp.float32)), axis=reduce_axes
+            )
             if self.axis_name is not None:
                 # Cross-replica sync: one psum of the packed (sum, sumsq, n)
                 # triple rides ICI per BN layer.
@@ -95,7 +102,9 @@ class BatchNorm(nn.Module):
                 sq = jax.lax.psum(sq, self.axis_name)
                 total = jax.lax.psum(total, self.axis_name)
             mean = s / total
-            var = sq / total - jnp.square(mean)  # biased — used to normalize
+            # biased variance, used to normalize; clamped at 0 because even
+            # f32 cancellation can dip epsilon-negative for near-constant x
+            var = jnp.maximum(sq / total - jnp.square(mean), 0.0)
 
             if not self.is_initializing():
                 # torch stores the UNBIASED variance in running_var.

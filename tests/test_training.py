@@ -119,6 +119,27 @@ def test_multi_device_train_step():
     assert float(n) == 16.0 and np.isfinite(float(sq))
 
 
+def test_bf16_train_step_is_finite():
+    """Regression: the bf16 (default-dtype) train step must produce finite
+    losses. BatchNorm's E[x^2]-E[x]^2 used to square in bf16 before the f32
+    accumulation; the ~0.4% per-element squaring error exceeded the true
+    batch variance for post-LeakyReLU (mostly-positive) activations, the
+    computed variance went negative, and rsqrt returned NaN on step 0."""
+    # the full-width model is required to reproduce: narrow test configs
+    # don't push E[x]^2 high enough relative to the batch variance
+    cfg = ModelConfig(variant="single", compute_dtype="bf16")
+    model = build_model(cfg)
+    state, tx = _make_state(model, seed=0, image=64)
+    step = make_train_step(model, tx)
+    rng = np.random.default_rng(0)
+    x = rng.random((4, 64, 64, 2)).astype(np.float32)
+    y = rng.uniform(0, 0.5, (4, 1)).astype(np.float32)
+    for i in range(3):
+        state, loss = step(state, jnp.asarray(x), jnp.asarray(y),
+                           np.float32(1e-4), jax.random.key(i))
+        assert np.isfinite(float(loss)), f"non-finite bf16 loss at step {i}"
+
+
 def test_multi_device_step_numerically_matches_single_device():
     """The 8-device shard_mapped step (psum-synced BN, pmean grads/loss)
     matches a 1-device step on the identical global batch — the
