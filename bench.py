@@ -1,18 +1,20 @@
 #!/usr/bin/env python
-"""Throughput benchmark — 256x256 tiles/sec/chip on the flagship model
-(single-branch, instantiated config 128 filters / 6 blocks; BASELINE.md
-target: >=5,000 tiles/sec/chip for inference + train step).
+"""Throughput benchmark — 256x256 tiles/sec/chip on both model families
+(single-branch 12.8M flagship + two-branch 137M; BASELINE.md target:
+>=5,000 tiles/sec/chip for inference + train step).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": N,
-   "infer_tps": ..., "train_tps": ...}
-``value`` is the headline inference throughput via the serving path
-(eval/fast_forward.py: folded-BN bf16 forward). The training-step rate is
-reported alongside (a v5e's bf16 peak bounds the 78 GFLOP/tile training
-step to ~2.5k tiles/s/chip at 100% MXU, so the 5k target is an
-inference-side goal per chip; training scales across the data-parallel mesh).
-Measured context: conv blocks 2-6 run at 70-86% of MXU peak; the few-channel
-input block and the remaining gap are analyzed in PERF_NOTES.md.
+   "infer_tps": ..., "train_tps": ...,
+   "two_branch_infer_tps": ..., "two_branch_train_tps": ...}
+``value`` is the headline single-branch inference throughput via the
+serving path (eval/fast_forward.py: folded-BN bf16 forward). The
+training-step rates are reported alongside (a v5e's bf16 peak bounds the
+78 GFLOP/tile single-branch training step to ~2.5k tiles/s/chip at 100%
+MXU, so the 5k target is an inference-side goal per chip; training scales
+across the data-parallel mesh). Measured context: conv blocks 2-6 run at
+70-86% of MXU peak; the few-channel input block and the remaining gap are
+analyzed in PERF_NOTES.md.
 
 Measurement method: per-dispatch latency through this environment's TPU
 relay is large (~100 ms), so each timed unit is a jitted lax.scan of
@@ -46,7 +48,8 @@ def _timed(fn, *args, repeats=3):
     return best
 
 
-def main() -> None:
+def bench_model(variant: str, infer_batch: int, train_batch: int):
+    """-> (infer_tps, train_tps, infer_batch, train_batch) for one model."""
     import jax.numpy as jnp
 
     from crosstalk_tpu.config import ModelConfig, OptimConfig
@@ -59,7 +62,7 @@ def main() -> None:
         make_optimizer,
     )
 
-    cfg = ModelConfig(variant="single", compute_dtype="bf16")
+    cfg = ModelConfig(variant=variant, compute_dtype="bf16")
     model = build_model(cfg)
     variables = init_model(model, jax.random.key(0), image_size=256, batch=2)
 
@@ -83,7 +86,6 @@ def main() -> None:
 
     infer_jit = jax.jit(infer_scan)
 
-    infer_batch = 512
     while True:
         try:
             rng = np.random.default_rng(0)
@@ -98,6 +100,7 @@ def main() -> None:
                 raise
             infer_batch //= 2
     infer_tps = INFER_SCAN_LEN * infer_batch / dt
+    del x
 
     # ---------- training step ----------
     tx = make_optimizer(OptimConfig())
@@ -117,7 +120,6 @@ def main() -> None:
 
     train_jit = jax.jit(train_scan, donate_argnums=0)
 
-    train_batch = 128
     while True:
         try:
             rng = np.random.default_rng(1)
@@ -139,20 +141,36 @@ def main() -> None:
                 raise
             train_batch //= 2
     train_tps = SCAN_LEN * train_batch / dt_train
+    del state, x, y
+    return infer_tps, train_tps, infer_batch, train_batch
+
+
+def main() -> None:
+    infer_tps, train_tps, infer_batch, train_batch = bench_model(
+        "single", infer_batch=512, train_batch=128
+    )
+    tb_infer, tb_train, tb_ib, tb_tb = bench_model(
+        "double", infer_batch=256, train_batch=64
+    )
 
     value = round(infer_tps, 1)
     print(
         json.dumps(
             {
                 "metric": "256x256 tiles/sec/chip, single-branch bf16 inference "
-                          "(train step rate in train_tps)",
+                          "(train step rate in train_tps; two-branch model in "
+                          "two_branch_*)",
                 "value": value,
                 "unit": "tiles/sec/chip",
                 "vs_baseline": round(value / 5000.0, 3),
                 "infer_tps": round(infer_tps, 1),
                 "train_tps": round(train_tps, 1),
+                "two_branch_infer_tps": round(tb_infer, 1),
+                "two_branch_train_tps": round(tb_train, 1),
                 "infer_batch": infer_batch,
                 "train_batch": train_batch,
+                "two_branch_infer_batch": tb_ib,
+                "two_branch_train_batch": tb_tb,
                 "device": jax.devices()[0].device_kind,
             }
         )

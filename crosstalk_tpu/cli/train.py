@@ -132,8 +132,14 @@ def main(argv=None) -> int:
         )
     print(f"Saving all outputs to: {run_dir}")
 
-    artifacts.write_params_txt(run_dir, vars(args))
-    print(f"Parameters saved to {run_dir}/params.txt")
+    # On resume, params.txt is the ORIGINAL run's hyperparameter record —
+    # preserve it and log the resume invocation separately.
+    if args.resume:
+        artifacts.write_params_txt(run_dir, vars(args), filename="params_resume.txt")
+        print(f"Resume parameters saved to {run_dir}/params_resume.txt")
+    else:
+        artifacts.write_params_txt(run_dir, vars(args))
+        print(f"Parameters saved to {run_dir}/params.txt")
 
     print("\nCreating dataset instances for initial file listing...")
     try:

@@ -119,7 +119,7 @@ def split_samples(
     The reference shuffles indices with ``torch.manual_seed(43);
     torch.randperm(N)`` (train_model.py:576-585). To keep splits *identical*
     to the reference (so per-split metrics are directly comparable), we use
-    torch's Philox permutation when torch is importable; otherwise we fall
+    torch's CPU MT19937 permutation when torch is importable; otherwise we fall
     back to a seeded NumPy permutation (documented divergence: different
     permutation for the same seed).
     """

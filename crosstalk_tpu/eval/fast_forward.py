@@ -88,11 +88,17 @@ def _branch_eval(x, params, stats, eps, slope, use_pallas, interpret):
         kernel, scale, bias = _block_affine(
             params[f"ConvBlock_{i}"], stats[f"ConvBlock_{i}"], eps
         )
+        m = (x.shape[1] // 2) * (x.shape[2] // 2)
         pallas_ok = (
             use_pallas
             and x.shape[-1] <= 4
-            and (x.shape[1] // 2) % 4 == 0
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
             and kernel.shape[-1] % 128 == 0  # Mosaic lane-width constraint
+            # the kernel tiles the pixel dim in chunks from this candidate
+            # list (input_block.py); an odd m would fall through to a
+            # single chunk=m block that can exceed VMEM for large tiles
+            and (m <= 4096 or any(m % cand == 0 for cand in (4096, 2048, 1024, 512, 256)))
         )
         if i == 0 and pallas_ok:
             x = fused_input_block(

@@ -68,9 +68,10 @@ def make_eval_run_dir(base: str, ts: str) -> str:
     return path
 
 
-def write_params_txt(run_dir: str, args_dict: Dict) -> str:
+def write_params_txt(run_dir: str, args_dict: Dict,
+                     filename: str = "params.txt") -> str:
     """'{arg}: {value}' per line (train_model.py:547-553)."""
-    path = os.path.join(run_dir, "params.txt")
+    path = os.path.join(run_dir, filename)
     with open(path, "w") as f:
         for arg, value in args_dict.items():
             f.write(f"{arg}: {value}\n")

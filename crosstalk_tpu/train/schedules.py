@@ -101,7 +101,11 @@ class ReduceLROnPlateau:
         else:
             self.num_bad_epochs += 1
         if self.num_bad_epochs > self.patience:
-            self.lr = max(self.lr * self.factor, self.min_lr)
+            # torch applies the reduction only when it exceeds eps=1e-8
+            # (torch/optim/lr_scheduler.py ReduceLROnPlateau._reduce_lr)
+            new_lr = max(self.lr * self.factor, self.min_lr)
+            if self.lr - new_lr > 1e-8:
+                self.lr = new_lr
             self.num_bad_epochs = 0
         return self.lr
 

@@ -137,7 +137,18 @@ int decode_tiff(const char* path, float* dst, int64_t stride,
         std::vector<uint32_t>& out =
             (tag.id == kStripOffsets) ? strip_offsets : strip_counts;
         if (size * tag.count <= 4) {
-          out.push_back(tag_value(buf, tag));
+          // Inline values: up to 4 bytes packed little-endian into the
+          // value field. Push ALL tag.count elements (e.g. two SHORT
+          // offsets), not just the first — otherwise a 2-strip file with
+          // inline offsets would silently decode from strip 0 only.
+          for (uint32_t k = 0; k < tag.count; ++k) {
+            if (size == 2)
+              out.push_back((tag.value_or_offset >> (16 * k)) & 0xffff);
+            else if (size == 1)
+              out.push_back((tag.value_or_offset >> (8 * k)) & 0xff);
+            else
+              out.push_back(tag.value_or_offset);
+          }
         } else {
           const uint8_t* q = buf.data() + tag.value_or_offset;
           for (uint32_t k = 0; k < tag.count; ++k)
@@ -154,6 +165,8 @@ int decode_tiff(const char* path, float* dst, int64_t stride,
   size_t elem = bits / 8;
   if (strip_counts.empty())
     strip_counts.push_back(static_cast<uint32_t>(width * height * elem));
+  if (strip_offsets.empty() || strip_offsets.size() != strip_counts.size())
+    return -8;  // malformed strip tags -> Python fallback
   size_t total = 0;
   for (uint32_t c : strip_counts) total += c;
   if (total != width * height * elem) return -8;

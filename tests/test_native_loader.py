@@ -81,3 +81,55 @@ def test_native_throughput_floor(reference_data_dirs):
     # measured ~5k tiles/s on this 2-4 core host (48x the Python decoder);
     # floor set with slack for CI noise
     assert native_tps > 2500, f"native decode too slow: {native_tps:.0f} tiles/s"
+
+
+def _write_two_strip_tiff(path, img):
+    """Craft a little-endian baseline TIFF whose 2 strips are NON-contiguous
+    and whose StripOffsets tag is two inline SHORTs (ADVICE r1: the inline
+    multi-value branch used to push only the first offset, silently decoding
+    strip 1 from the gap bytes)."""
+    import struct
+
+    h, w = img.shape
+    data = img.astype("<f4").tobytes()
+    half = len(data) // 2
+    strip0_off = 8
+    gap = b"\xee" * 64  # garbage the buggy contiguous read would decode
+    strip1_off = strip0_off + half + len(gap)
+    counts_off = strip1_off + half
+    ifd_off = counts_off + 8
+    assert strip1_off < 0x10000  # must fit in an inline SHORT
+
+    def tag(tid, ttype, count, value):
+        return struct.pack("<HHII", tid, ttype, count, value)
+
+    tags = [
+        tag(256, 3, 1, w),                      # ImageWidth
+        tag(257, 3, 1, h),                      # ImageLength
+        tag(258, 3, 1, 32),                     # BitsPerSample
+        tag(259, 3, 1, 1),                      # Compression=none
+        tag(273, 3, 2, strip0_off | (strip1_off << 16)),  # inline SHORT x2
+        tag(277, 3, 1, 1),                      # SamplesPerPixel
+        tag(279, 4, 2, counts_off),             # StripByteCounts out-of-line
+        tag(339, 3, 1, 3),                      # SampleFormat=float
+    ]
+    blob = struct.pack("<2sHI", b"II", 42, ifd_off)
+    blob += data[:half] + gap + data[half:]
+    blob += struct.pack("<II", half, half)
+    blob += struct.pack("<H", len(tags)) + b"".join(tags) + struct.pack("<I", 0)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def test_native_inline_multistrip_offsets(tmp_path):
+    rng = np.random.default_rng(7)
+    mixed = rng.random((32, 32)).astype(np.float32)
+    source = rng.random((32, 32)).astype(np.float32)
+    mp = str(tmp_path / "image_1_alpha_0.1_mixed.tif")
+    sp = str(tmp_path / "image_1_alpha_0.1_source.tif")
+    _write_two_strip_tiff(mp, mixed)
+    _write_two_strip_tiff(sp, source)
+    out = np.empty((1, 32, 32, 2), dtype=np.float32)
+    assert load_pairs_native([mp], [sp], out, threads=1)
+    np.testing.assert_array_equal(out[0, :, :, 0], mixed)
+    np.testing.assert_array_equal(out[0, :, :, 1], source)

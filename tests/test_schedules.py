@@ -95,3 +95,20 @@ def test_schedule_state_roundtrip():
     b.load_state_dict(a.state_dict())
     assert b.lr_for_step(0) == a.lr_for_step(0)
     assert b._plateau.num_bad_epochs == a._plateau.num_bad_epochs
+
+
+def test_plateau_eps_guard_matches_torch():
+    """torch skips reductions smaller than eps=1e-8; an lr within ~1e-8 of
+    min_lr must freeze exactly where torch freezes (ADVICE r1)."""
+    model = torch.nn.Linear(2, 1)
+    opt = torch.optim.Adam(model.parameters(), lr=3e-8)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, factor=0.3, patience=0, threshold=5e-5, min_lr=1e-8
+    )
+    ours = ReduceLROnPlateau(3e-8, factor=0.3, patience=0, threshold=5e-5,
+                             min_lr=1e-8)
+    for loss in [1.0] * 6:  # every epoch is "bad" -> reduction attempted
+        tsched.step(loss)
+        ours.step(loss)
+        assert ours.lr == opt.param_groups[0]["lr"], (
+            ours.lr, opt.param_groups[0]["lr"])

@@ -383,6 +383,8 @@ def test_resume_continues(trained_run):
     from crosstalk_tpu.cli.train import main as train_main
 
     _, mixed_dir, source_dir, out_base, run_dir = trained_run
+    with open(os.path.join(run_dir, "params.txt")) as f:
+        original_params = f.read()
     rc = train_main([
         "-m", mixed_dir, "-s", source_dir, "-b", "8", "-l", "1e-3", "-n", "5",
         "-j", "2", "-o", "single", "-r", "onecycle",
@@ -390,6 +392,11 @@ def test_resume_continues(trained_run):
         "--num_devices", "1", "--resume", run_dir,
     ])
     assert rc == 0
+    # params.txt is the original run's hyperparameter record — resume must
+    # not overwrite it; the resume invocation goes to params_resume.txt
+    with open(os.path.join(run_dir, "params.txt")) as f:
+        assert f.read() == original_params
+    assert os.path.exists(os.path.join(run_dir, "params_resume.txt"))
     # the resumed run continues the SAME log: epochs 1-3 from the original
     # run are preserved and 4-5 appended (a truncating resume would break
     # analyse_training_results' min-loss computation)
