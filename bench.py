@@ -149,8 +149,11 @@ def main() -> None:
     infer_tps, train_tps, infer_batch, train_batch = bench_model(
         "single", infer_batch=512, train_batch=128
     )
+    # two-branch train batch 128: the 137M-param Adam update + head
+    # weight-gradient HBM traffic amortize with batch (B=64: 804 tiles/s,
+    # B=128: 1189, B=256: 1176 — see PERF_NOTES.md)
     tb_infer, tb_train, tb_ib, tb_tb = bench_model(
-        "double", infer_batch=256, train_batch=64
+        "double", infer_batch=256, train_batch=128
     )
 
     value = round(infer_tps, 1)

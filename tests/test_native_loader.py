@@ -133,3 +133,74 @@ def test_native_inline_multistrip_offsets(tmp_path):
     assert load_pairs_native([mp], [sp], out, threads=1)
     np.testing.assert_array_equal(out[0, :, :, 0], mixed)
     np.testing.assert_array_equal(out[0, :, :, 1], source)
+
+
+def test_native_fuzz_malformed_tiffs(tmp_path):
+    """Malformed/truncated/hostile TIFF bytes must return False (-> Python
+    fallback), never crash or scribble outside the output buffer."""
+    import struct
+
+    rng = np.random.default_rng(0)
+    good = rng.random((32, 32)).astype(np.float32)
+    gp = str(tmp_path / "good.tif")
+    _write_two_strip_tiff(gp, good)
+    with open(gp, "rb") as f:
+        blob = bytearray(f.read())
+
+    cases = {
+        "empty": b"",
+        "short": b"II",
+        "bad_magic": b"MM\x00\x2a" + bytes(blob[4:]),
+        "ifd_past_eof": bytes(blob[:4]) + struct.pack("<I", 10**6) + bytes(blob[8:]),
+        "random_noise": bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),
+        "truncated_half": bytes(blob[: len(blob) // 2]),
+        "truncated_ifd": bytes(blob[:-20]),
+    }
+    # strip offsets pointing past EOF
+    huge = bytearray(blob)
+    # tag 273 lives in the IFD; easiest hostile variant: set the out-of-line
+    # byte-counts offset (tag 279 value) past EOF
+    cases["counts_past_eof"] = bytes(huge[:-40]) + b"\xff" * 40
+
+    for name, payload in cases.items():
+        p = str(tmp_path / f"{name}.tif")
+        with open(p, "wb") as f:
+            f.write(payload)
+        out = np.full((1, 32, 32, 2), -7.0, dtype=np.float32)
+        ok = load_pairs_native([p], [gp], out, threads=1)
+        assert not ok, f"case {name} was accepted"
+
+    # a good pair still decodes after all the failures (no sticky state)
+    out = np.empty((1, 32, 32, 2), dtype=np.float32)
+    assert load_pairs_native([gp], [gp], out, threads=1)
+    np.testing.assert_array_equal(out[0, :, :, 0], good)
+
+
+def test_native_fuzz_byte_mutations(tmp_path):
+    """200 random single/multi-byte corruptions of a valid file: every
+    mutation must either decode (pixel-data flips are legal) or be rejected
+    — the process must survive all of them."""
+    rng = np.random.default_rng(1)
+    good = rng.random((32, 32)).astype(np.float32)
+    gp = str(tmp_path / "good.tif")
+    _write_two_strip_tiff(gp, good)
+    with open(gp, "rb") as f:
+        blob = bytearray(f.read())
+
+    p = str(tmp_path / "mut.tif")
+    out = np.empty((1, 32, 32, 2), dtype=np.float32)
+    accepted = rejected = 0
+    for _ in range(200):
+        mut = bytearray(blob)
+        for _ in range(int(rng.integers(1, 4))):
+            mut[int(rng.integers(0, len(mut)))] = int(rng.integers(0, 256))
+        if rng.random() < 0.3:  # also fuzz truncation
+            mut = mut[: int(rng.integers(1, len(mut)))]
+        with open(p, "wb") as f:
+            f.write(bytes(mut))
+        if load_pairs_native([p], [gp], out, threads=1):
+            accepted += 1
+        else:
+            rejected += 1
+    # both outcomes must occur (sanity that the harness exercises both paths)
+    assert accepted > 0 and rejected > 0, (accepted, rejected)
