@@ -71,7 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Directory for the packed decoded-tile cache "
                              "(memory-mapped; repeat runs skip TIFF decode)")
     parser.add_argument("--debug_nans", action="store_true",
-                        help="Fail fast on NaN/Inf in compiled computations")
+                        help="Fail fast on NaN/Inf in compiled computations "
+                             "(note: a genuinely constant tile yields NaN "
+                             "correlation metrics by reference semantics and "
+                             "will trip this)")
     return parser
 
 

@@ -72,7 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Directory for the packed decoded-tile cache "
                              "(memory-mapped; repeat runs skip TIFF decode)")
     parser.add_argument("--debug_nans", action="store_true",
-                        help="Fail fast on NaN/Inf in compiled computations")
+                        help="Fail fast on NaN/Inf in compiled computations "
+                             "(note: a genuinely constant tile yields NaN "
+                             "correlation metrics by reference semantics and "
+                             "will trip this during post-training eval)")
     return parser
 
 
@@ -105,6 +108,30 @@ def main(argv=None) -> int:
               f"{len(devices)} device(s) are visible.")
         return 1
     print(f"Using device: {devices[0].platform} x{n_dev} ({devices[0].device_kind})")
+
+    if args.resume:
+        # A resumed run continues the SAME run: the hyperparameters that
+        # define its identity (naming, split, schedule, model) come from the
+        # original params.txt, not this invocation's flags/defaults —
+        # otherwise the log filename forks (dropping epoch history from the
+        # continued CSV) and the schedule silently changes. -n stays from
+        # the invocation: it is the (extendable) total-epoch target.
+        original = artifacts.read_params_txt(args.resume)
+        adopted = []
+        for key, cast in (
+            ("batch_size", int), ("learning_rate", float),
+            ("learning_scheduler", str), ("model_options", str),
+            ("compute_dtype", str), ("seed", int),
+            ("train_ratio", float), ("val_ratio", float),
+        ):
+            if key in original:
+                orig_val = cast(original[key])
+                if getattr(args, key) != orig_val:
+                    adopted.append(f"{key}={orig_val}")
+                    setattr(args, key, orig_val)
+        if adopted:
+            print("Resume: adopting the original run's hyperparameters: "
+                  + ", ".join(adopted))
 
     if not (abs(args.train_ratio + args.val_ratio) < 1.0):
         print("Warning: Sum of TRAIN_RATIO, VAL_RATIO, TEST_RATIO does not equal 1.0.")
@@ -160,14 +187,18 @@ def main(argv=None) -> int:
     )
 
     batch_size = args.batch_size
+    # the effective batch must stay positive — and a multiple of the mesh
+    # size when sharding — or the loop divides by zero (-b 4 on 8 devices
+    # must become 8, not (4//8)*8 = 0)
+    floor = n_dev if mesh is not None else 1
     if batch_size > len(train_samples):
-        batch_size = max((len(train_samples) // max(n_dev, 1)) * max(n_dev, 1), 1)
+        batch_size = max((len(train_samples) // max(n_dev, 1)) * max(n_dev, 1), floor)
         print(
             f"Warning: batch size {args.batch_size} exceeds the training split "
             f"({len(train_samples)} samples); clamping to {batch_size}."
         )
     if mesh is not None and batch_size % n_dev != 0:
-        batch_size = (batch_size // n_dev) * n_dev
+        batch_size = max((batch_size // n_dev) * n_dev, n_dev)
         print(f"Warning: batch size rounded to {batch_size} "
               f"(must divide across {n_dev} devices).")
 

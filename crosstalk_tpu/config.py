@@ -15,25 +15,6 @@ from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)
-class DataConfig:
-    """Data discovery + split settings (reference train_model.py:497-508, 576-585)."""
-
-    mixed_dir: str = "./Training_Data/Mixed"
-    source_dir: str = "./Training_Data/Source"
-    train_ratio: float = 0.7
-    val_ratio: float = 0.15
-    split_seed: int = 43          # torch.manual_seed(43), train_model.py:576
-    max_samples: Optional[int] = None
-    cpu_jobs: int = 1             # host decode threads (-j)
-    image_size: int = 256
-    # Pad-and-mask the final eval batch instead of dropping it (the reference
-    # sets drop_last=True even for val/test loaders — train_model.py:622,631 —
-    # which silently empties small splits; we keep drop-last only for train).
-    drop_last_train: bool = True
-    cache_decoded: bool = True    # packed float32 cache of decoded tiles
-
-
-@dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Instantiated model configs (reference train_model.py:534-537).
 
@@ -113,19 +94,5 @@ class TrainConfig:
     batch_size: int = 256
     num_epochs: int = 50
     output_base: str = "."
-    # Sync BatchNorm batch statistics across the data-parallel mesh axis.
-    # Matches single-device training semantics under data parallelism.
-    sync_batchnorm: bool = True
-    profile: bool = False         # capture a jax.profiler trace of a few steps
     resume: Optional[str] = None  # run dir to resume from (native checkpoints)
     checkpoint_every: int = 1     # native-resume checkpoint cadence (epochs)
-
-
-@dataclasses.dataclass(frozen=True)
-class MeshConfig:
-    """Device-mesh layout. The workload is pure data parallelism: the models
-    are tiny (13M/137M params) and inputs are fixed 256x256 tiles, so a 1-axis
-    'data' mesh over ICI is the whole story (see SURVEY.md §5)."""
-
-    data_axis: str = "data"
-    num_devices: Optional[int] = None  # None = all local devices

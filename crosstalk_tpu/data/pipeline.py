@@ -182,7 +182,7 @@ def iterate_batches(
         yield Batch(inputs, labels, ids, mask)
 
 
-def num_batches(n: int, batch_size: int, drop_last: bool) -> int:
+def num_batches(n: int, batch_size: int, drop_last: bool = False) -> int:
     return n // batch_size if drop_last else -(-n // batch_size)
 
 

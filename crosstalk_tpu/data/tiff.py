@@ -58,13 +58,28 @@ def _read_tag_values(buf: bytes, entry: bytes, endian: str):
         raw = entry[8 : 8 + total]
     else:
         (offset,) = struct.unpack(endian + "I", entry[8:12])
+        if offset + total > len(buf):
+            return tag, None  # out-of-line array past EOF — malformed
         raw = buf[offset : offset + total]
-    values = struct.unpack(endian + fmt * count, raw)
+    if len(raw) != total:
+        return tag, None
+    # count-prefixed format, NOT fmt*count: count is an untrusted uint32 and
+    # a repeated-char format string would allocate up to 4 GB for a corrupt tag
+    values = struct.unpack(f"{endian}{count}{fmt}", raw)
     return tag, list(values)
 
 
 def _parse_raw_tiff(buf: bytes) -> Optional[np.ndarray]:
-    """Parse a baseline single-plane uncompressed TIFF. None if unsupported."""
+    """Parse a baseline single-plane uncompressed TIFF. None if unsupported
+    OR malformed — a truncated/corrupt file must reach the imageio fallback
+    (which gives the authoritative error), not raise out of the cache build."""
+    try:
+        return _parse_raw_tiff_inner(buf)
+    except (struct.error, IndexError, ValueError, OverflowError):
+        return None
+
+
+def _parse_raw_tiff_inner(buf: bytes) -> Optional[np.ndarray]:
     if len(buf) < 8:
         return None
     if buf[:2] == b"II":

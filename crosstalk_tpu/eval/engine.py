@@ -23,7 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from crosstalk_tpu.data.pipeline import TileStore, device_prefetch, iterate_batches
+from crosstalk_tpu.data.pipeline import (
+    TileStore,
+    device_prefetch,
+    iterate_batches,
+    num_batches,
+)
 from crosstalk_tpu.data.transforms import normalize_batch_nhwc
 from crosstalk_tpu.ops.metrics import classical_metrics
 from crosstalk_tpu.utils.progress import progress
@@ -37,7 +42,15 @@ def _eval_step(apply_fn, variables, inputs, labels, mask, with_metrics: bool):
     sq_err = jnp.square(preds - labels)[:, 0] * mask
     out = {"preds": preds[:, 0], "sq_err": sq_err}
     if with_metrics:
-        out.update(classical_metrics(batch))
+        # Zero the padding rows: the pad tiles are constant, so the
+        # correlation metrics' reference-exact NaN guards would fire for
+        # them and make every padded tail batch abort under --debug_nans
+        # (jax_debug_nans). Padded rows never reach the CSV; real constant
+        # tiles keep their reference-semantics NaN.
+        out.update({
+            k: jnp.where(mask > 0, v, 0.0)
+            for k, v in classical_metrics(batch).items()
+        })
     return out
 
 
@@ -96,7 +109,7 @@ def evaluate(
     batches = device_prefetch(iterate_batches(store, batch_size), sharding=sharding)
     if desc is not None:
         batches = progress(batches, desc=desc,
-                           total=-(-len(store) // batch_size))
+                           total=num_batches(len(store), batch_size))
     for batch in batches:
         out = _eval_step(
             apply_fn, variables, batch.inputs, batch.labels, batch.mask, with_metrics

@@ -78,6 +78,20 @@ def write_params_txt(run_dir: str, args_dict: Dict,
     return path
 
 
+def read_params_txt(run_dir: str, filename: str = "params.txt") -> Dict[str, str]:
+    """Parse a params.txt back into {arg: value-string}; {} if absent."""
+    path = os.path.join(run_dir, filename)
+    if not os.path.exists(path):
+        return {}
+    out: Dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            if ": " in line:
+                key, _, value = line.rstrip("\n").partition(": ")
+                out[key] = value
+    return out
+
+
 def write_architecture_txt(run_dir: str, summary: str) -> str:
     path = os.path.join(run_dir, "model_architecture.txt")
     with open(path, "w") as f:

@@ -20,17 +20,22 @@ Documented divergences from the reference:
 
 from __future__ import annotations
 
-import time
 from typing import List, Optional, Tuple
 
 import jax
 import numpy as np
 
 from crosstalk_tpu.config import OptimConfig, TrainConfig
-from crosstalk_tpu.data.pipeline import TileStore, device_prefetch, iterate_batches
+from crosstalk_tpu.data.pipeline import (
+    TileStore,
+    device_prefetch,
+    iterate_batches,
+    num_batches,
+)
 from crosstalk_tpu.io import artifacts, checkpoint
 from crosstalk_tpu.io.torch_convert import save_pth
 from crosstalk_tpu.train.schedules import Schedule
+from crosstalk_tpu.utils.profiling import Throughput
 from crosstalk_tpu.utils.progress import progress
 from crosstalk_tpu.train.steps import (
     TrainState,
@@ -64,6 +69,8 @@ def train_model(
     used the requested value — the contract the analysis tool parses)."""
     batch_size = train_cfg.batch_size
     naming_bs = naming_batch_size if naming_batch_size is not None else batch_size
+    if batch_size <= 0:
+        raise ValueError(f"batch size must be positive, got {batch_size}")
     steps_per_epoch = len(train_store) // batch_size
     if steps_per_epoch == 0:
         raise ValueError(
@@ -109,9 +116,10 @@ def train_model(
         resume_from_epoch=start_epoch if resume else None,
     )
 
+    meter = Throughput()
     for epoch in range(start_epoch, train_cfg.num_epochs):
         lr_history.append(schedule.lr_for_step(global_step))
-        epoch_t0 = time.perf_counter()
+        meter.reset()
 
         # ---- train pass: dispatch every step async, block once at the end
         step_losses = []
@@ -146,7 +154,7 @@ def train_model(
                 iterate_batches(val_store, batch_size), sharding=sharding
             ),
             desc=f"Epoch {epoch + 1}/{train_cfg.num_epochs} [Val]",
-            total=-(-len(val_store) // batch_size),
+            total=num_batches(len(val_store), batch_size),
         ):
             s, c = val_step(
                 state.params, state.batch_stats,
@@ -174,8 +182,8 @@ def train_model(
             epochs_without_improvement += 1
 
         current_lr = schedule.lr_for_step(global_step)
-        dt = time.perf_counter() - epoch_t0
-        tiles_per_sec = steps_per_epoch * batch_size / dt
+        meter.add(steps_per_epoch * batch_size)
+        tiles_per_sec = meter.tiles_per_sec
         print(
             f"Epoch [{epoch + 1}/{train_cfg.num_epochs}] | "
             f"Train Loss: {train_loss:.6f} | Val Loss: {val_loss:.6f} | "

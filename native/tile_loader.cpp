@@ -57,15 +57,22 @@ int type_size(uint16_t t) {
   }
 }
 
+// True when [off, off+len) lies inside buf — all math in 64-bit so
+// corruption-controlled 32-bit offsets can't wrap past the check.
+bool in_bounds(const std::vector<uint8_t>& buf, uint64_t off, uint64_t len) {
+  return off <= buf.size() && len <= buf.size() - off;
+}
+
 // Read one tag value (first element) resolving the value/offset encoding.
 uint32_t tag_value(const std::vector<uint8_t>& buf, const Tag& tag) {
   int size = type_size(tag.type);
   if (size == 0) return 0;
-  if (size * tag.count <= 4) {
+  if (static_cast<uint64_t>(size) * tag.count <= 4) {
     if (size == 2) return tag.value_or_offset & 0xffff;
     if (size == 1) return tag.value_or_offset & 0xff;
     return tag.value_or_offset;
   }
+  if (!in_bounds(buf, tag.value_or_offset, size)) return 0;
   const uint8_t* p = buf.data() + tag.value_or_offset;
   if (size == 2) return rd16(p);
   return rd32(p);
@@ -115,8 +122,12 @@ int decode_tiff(const char* path, float* dst, int64_t stride,
 
   if (buf[0] != 'I' || buf[1] != 'I' || rd16(buf.data() + 2) != 42) return -4;
   uint32_t ifd = rd32(buf.data() + 4);
-  if (ifd + 2 > buf.size()) return -5;
+  if (!in_bounds(buf, ifd, 2)) return -5;
   uint16_t n_tags = rd16(buf.data() + ifd);
+  // the whole tag table must fit (64-bit math: ifd near UINT32_MAX with a
+  // large n_tags must not wrap past the check)
+  if (!in_bounds(buf, static_cast<uint64_t>(ifd) + 2,
+                 static_cast<uint64_t>(n_tags) * 12)) return -5;
 
   uint32_t width = 0, height = 0, bits = 1, compression = 1, spp = 1, fmt = 1;
   std::vector<uint32_t> strip_offsets, strip_counts;
@@ -134,9 +145,10 @@ int decode_tiff(const char* path, float* dst, int64_t stride,
       case kStripOffsets:
       case kStripByteCounts: {
         int size = type_size(tag.type);
+        if (size == 0 || (size != 2 && size != 4)) return -8;  // exotic type
         std::vector<uint32_t>& out =
             (tag.id == kStripOffsets) ? strip_offsets : strip_counts;
-        if (size * tag.count <= 4) {
+        if (static_cast<uint64_t>(size) * tag.count <= 4) {
           // Inline values: up to 4 bytes packed little-endian into the
           // value field. Push ALL tag.count elements (e.g. two SHORT
           // offsets), not just the first — otherwise a 2-strip file with
@@ -150,6 +162,9 @@ int decode_tiff(const char* path, float* dst, int64_t stride,
               out.push_back(tag.value_or_offset);
           }
         } else {
+          if (!in_bounds(buf, tag.value_or_offset,
+                         static_cast<uint64_t>(size) * tag.count))
+            return -8;  // out-of-line array past EOF -> Python fallback
           const uint8_t* q = buf.data() + tag.value_or_offset;
           for (uint32_t k = 0; k < tag.count; ++k)
             out.push_back(size == 2 ? rd16(q + 2 * k) : rd32(q + 4 * k));
@@ -161,26 +176,28 @@ int decode_tiff(const char* path, float* dst, int64_t stride,
   }
 
   if (compression != 1 || spp != 1) return -6;  // exotic -> Python fallback
-  if (width * height != expected_pixels) return -7;
+  if (static_cast<uint64_t>(width) * height != expected_pixels) return -7;
   size_t elem = bits / 8;
+  if (elem == 0) return -6;
   if (strip_counts.empty())
     strip_counts.push_back(static_cast<uint32_t>(width * height * elem));
   if (strip_offsets.empty() || strip_offsets.size() != strip_counts.size())
     return -8;  // malformed strip tags -> Python fallback
-  size_t total = 0;
+  uint64_t total = 0;
   for (uint32_t c : strip_counts) total += c;
-  if (total != width * height * elem) return -8;
+  if (total != static_cast<uint64_t>(width) * height * elem) return -8;
 
-  // gather strips (usually one) then convert
+  // gather strips (usually one) then convert — every offset+count check in
+  // 64-bit so a uint32 wrap can't bypass it
   std::vector<uint8_t> linear;
   const uint8_t* src;
   if (strip_offsets.size() == 1) {
-    if (strip_offsets[0] + total > buf.size()) return -9;
+    if (!in_bounds(buf, strip_offsets[0], total)) return -9;
     src = buf.data() + strip_offsets[0];
   } else {
     linear.reserve(total);
     for (size_t k = 0; k < strip_offsets.size(); ++k) {
-      if (strip_offsets[k] + strip_counts[k] > buf.size()) return -9;
+      if (!in_bounds(buf, strip_offsets[k], strip_counts[k])) return -9;
       linear.insert(linear.end(), buf.data() + strip_offsets[k],
                     buf.data() + strip_offsets[k] + strip_counts[k]);
     }

@@ -7,6 +7,7 @@ import csv
 import glob
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -207,3 +208,32 @@ def test_eval_cli_empty_dataset(tmp_path, cli_setup, capsys):
     ])
     assert rc == 1
     assert "Error initializing" in capsys.readouterr().out
+
+
+def test_evaluate_with_debug_nans_and_padded_tail(cli_setup):
+    """10 samples at batch_size=4 -> the last batch is padded with constant
+    zero tiles. Their reference-semantics NaN correlation guards must be
+    masked inside the jitted step, or jax_debug_nans aborts every eval with
+    a padded tail (the metrics are dropped host-side anyway)."""
+    from crosstalk_tpu.config import ModelConfig
+    from crosstalk_tpu.data.index import PairIndex
+    from crosstalk_tpu.data.pipeline import TileStore
+    from crosstalk_tpu.eval.engine import evaluate
+    from crosstalk_tpu.io.torch_convert import load_pth
+    from crosstalk_tpu.models import build_model
+
+    _, mixed_dir, source_dir, ckpt, _ = cli_setup
+    model = build_model(ModelConfig(variant="single", compute_dtype="f32"))
+    variables = load_pth(ckpt, "single")
+    store = TileStore(PairIndex(mixed_dir, source_dir).samples, jobs=1)
+
+    jax.config.update("jax_debug_nans", True)
+    try:
+        rows, loss = evaluate(model, variables, store, batch_size=4,
+                              with_metrics=True)
+    finally:
+        jax.config.update("jax_debug_nans", False)
+    assert len(rows) == 10
+    assert np.isfinite(loss)
+    for row in rows:  # real rows keep real (finite, here) metric values
+        assert np.isfinite(float(row["Pearsons Correlation"]))

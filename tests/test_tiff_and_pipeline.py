@@ -142,3 +142,36 @@ def test_load_tiles_parallel_equals_serial(synthetic_data_dirs):
     serial = load_tiles(index.samples, jobs=1)
     parallel = load_tiles(index.samples, jobs=4)
     np.testing.assert_array_equal(serial, parallel)
+
+
+def test_parse_raw_tiff_malformed_returns_none(tmp_path):
+    """Corrupt/truncated TIFF bytes must return None (-> imageio fallback),
+    never raise struct.error/IndexError out of the cache build."""
+    import struct
+
+    from crosstalk_tpu.data.tiff import _parse_raw_tiff, write_tile
+
+    good_path = str(tmp_path / "t.tif")
+    write_tile(good_path, np.arange(64, dtype=np.float32).reshape(8, 8))
+    with open(good_path, "rb") as f:
+        blob = f.read()
+    assert _parse_raw_tiff(blob) is not None
+
+    cases = [
+        blob[: len(blob) // 2],          # truncated mid-IFD
+        blob[:-3],                        # truncated tag table
+        blob[:4] + struct.pack("<I", 10**7) + blob[8:],  # IFD past EOF
+        blob[:8],                         # header only
+        bytes(200),                       # zeros (not a TIFF)
+    ]
+    rng = np.random.default_rng(3)
+    for _ in range(100):                  # byte-mutation sweep
+        mut = bytearray(blob)
+        for _ in range(int(rng.integers(1, 5))):
+            mut[int(rng.integers(0, len(mut)))] = int(rng.integers(0, 256))
+        cases.append(bytes(mut))
+    for i, case in enumerate(cases):
+        try:
+            _parse_raw_tiff(case)  # None or a parsed array — but never raise
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"case {i} raised {type(e).__name__}: {e}")

@@ -385,10 +385,13 @@ def test_resume_continues(trained_run):
     _, mixed_dir, source_dir, out_base, run_dir = trained_run
     with open(os.path.join(run_dir, "params.txt")) as f:
         original_params = f.read()
+    # deliberately OMIT -b/-l/-r (and pass a different dtype default target):
+    # resume must adopt the original run's hyperparameters from params.txt —
+    # otherwise the log filename forks and the schedule silently changes
     rc = train_main([
-        "-m", mixed_dir, "-s", source_dir, "-b", "8", "-l", "1e-3", "-n", "5",
-        "-j", "2", "-o", "single", "-r", "onecycle",
-        "--compute_dtype", "f32", "--output_base", out_base,
+        "-m", mixed_dir, "-s", source_dir, "-n", "5",
+        "-j", "2", "-o", "single",
+        "--output_base", out_base,
         "--num_devices", "1", "--resume", run_dir,
     ])
     assert rc == 0
@@ -422,3 +425,18 @@ def test_train_cli_multi_device_smoke(tmp_path):
     assert rc == 0
     (run_dir,) = glob.glob(os.path.join(str(tmp_path), "training_run_*"))
     assert os.path.exists(os.path.join(run_dir, "best_model_plateau.pth"))
+
+
+def test_train_cli_small_batch_rounds_up_to_mesh(tmp_path):
+    """-b smaller than the device count must round UP to one sample per
+    device, not down to zero (which divided by zero in the loop)."""
+    from crosstalk_tpu.cli.train import main as train_main
+
+    mixed_dir, source_dir = make_synthetic_dataset(str(tmp_path), n=16, size=64, seed=9)
+    rc = train_main([
+        "-m", mixed_dir, "-s", source_dir, "-b", "4", "-l", "1e-3", "-n", "1",
+        "-j", "2", "-o", "single", "-r", "aggressive_plateau",
+        "--compute_dtype", "f32", "--output_base", str(tmp_path),
+        "--num_devices", "8",
+    ])
+    assert rc == 0
