@@ -1,0 +1,137 @@
+"""Serving CLI — online inference over HTTP with dynamic batching.
+
+No reference counterpart (djpbarry/Torch-Unet is offline-only; its eval CLI
+test-cross-talk-model.py:228-324 scores a directory in one pass). This is
+the production-serving surface of the same model checkpoints: load a
+``.pth``, compile ONE fixed-shape program (serving path by default), and
+coalesce concurrent HTTP requests into full device batches.
+
+Example:
+  python -m crosstalk_tpu.cli.serve -p model.pth -o single --port 8000
+  curl -s http://127.0.0.1:8000/healthz
+  python - <<'EOF'
+  import io, json, urllib.request, numpy as np
+  buf = io.BytesIO()
+  np.savez(buf, mixed=np.random.rand(4, 256, 256), source=np.random.rand(4, 256, 256))
+  req = urllib.request.Request("http://127.0.0.1:8000/predict", data=buf.getvalue())
+  print(json.load(urllib.request.urlopen(req))["alpha"])
+  EOF
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Serve a crosstalk regression checkpoint over HTTP."
+    )
+    parser.add_argument("-p", "--model_path", type=str, required=True,
+                        help="Path to the .pth checkpoint to serve")
+    parser.add_argument("-o", "--model_options", type=str, default="single",
+                        choices=["single", "double"],
+                        help="Use single- or double-branch model")
+    parser.add_argument("--host", type=str, default="127.0.0.1",
+                        help="Bind address (0.0.0.0 to accept remote traffic)")
+    parser.add_argument("--port", type=int, default=8000,
+                        help="Bind port (0 picks a free port)")
+    parser.add_argument("--batch_size", type=int, default=256,
+                        help="Static device batch size; requests are "
+                             "coalesced and padded to exactly this shape")
+    parser.add_argument("--max_delay_ms", type=float, default=5.0,
+                        help="Max time a queued tile waits for a full batch")
+    parser.add_argument("--image_size", type=int, default=256,
+                        help="Tile height/width the checkpoint was trained at")
+    parser.add_argument("--parity", action="store_true",
+                        help="Serve the f32 checkpoint-parity forward instead "
+                             "of the bf16 serving path (slower, ~1e-8 MAE "
+                             "vs the reference)")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="Shard each batch over this many devices "
+                             "(default 1; batch_size must divide it)")
+    parser.add_argument("--request_timeout", type=float, default=120.0,
+                        help="Per-request result timeout, seconds")
+    parser.add_argument("--verbose", action="store_true",
+                        help="Log each HTTP request")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from crosstalk_tpu.config import ModelConfig
+    from crosstalk_tpu.io.torch_convert import load_pth
+    from crosstalk_tpu.serve.predictor import make_predictor
+    from crosstalk_tpu.serve.server import CrosstalkServer
+    from crosstalk_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    n_dev = args.num_devices or 1
+    if n_dev > len(jax.devices()):
+        print(f"Error: --num_devices {n_dev} requested but only "
+              f"{len(jax.devices())} device(s) are visible.")
+        return 1
+
+    print("--- Loading model weights ---")
+    try:
+        variables = load_pth(args.model_path, args.model_options)
+    except (FileNotFoundError, KeyError) as e:
+        print(f"Error loading model from {args.model_path}: {e}")
+        return 1
+
+    model_cfg = ModelConfig(
+        variant=args.model_options,
+        compute_dtype="f32" if args.parity else "bf16",
+    )
+
+    mesh = None
+    if n_dev > 1:
+        from crosstalk_tpu.parallel.mesh import data_mesh
+
+        mesh = data_mesh(n_dev)
+
+    device = jax.devices()[0]
+    print(f"Using device: {device.platform}:{device.device_kind} x{n_dev}")
+    print(f"Compiling serving program (batch {args.batch_size}, "
+          f"{'f32 parity' if args.parity else 'bf16 serving'} path)...")
+    predict = make_predictor(
+        variables, model_cfg, args.batch_size,
+        image_size=args.image_size, fast=not args.parity, mesh=mesh,
+    )
+
+    server = CrosstalkServer(
+        predict,
+        batch_size=args.batch_size,
+        image_size=args.image_size,
+        host=args.host,
+        port=args.port,
+        max_delay_ms=args.max_delay_ms,
+        model_info={
+            "model": args.model_options,
+            "checkpoint": args.model_path,
+            "image_size": args.image_size,
+            "path": "f32-parity" if args.parity else "bf16-serving",
+            "batch_size": args.batch_size,
+            "devices": n_dev,
+        },
+        request_timeout=args.request_timeout,
+        verbose=args.verbose,
+    )
+    host, port = server.address
+    print(f"Serving on http://{host}:{port}  "
+          f"(POST /predict, GET /healthz, GET /stats) — Ctrl-C to stop")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("\nShutting down...")
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,201 @@
+"""Dynamic request batching for online inference.
+
+TPU-shaped design: the device runs ONE compiled program at ONE static batch
+shape. The batcher's job is to keep that program fed — it coalesces
+concurrently-arriving requests (each any number of tiles) into fixed-size
+batches, padding the tail of a flush with zero tiles rather than triggering
+a second program shape. A request larger than the batch size simply spans
+several device calls; a burst of single-tile requests shares one call.
+
+Flush policy: a batch is dispatched as soon as it is full, or when the
+oldest queued row has waited ``max_delay_ms`` (latency bound under light
+traffic). All device work happens on the single dispatcher thread — JAX
+dispatch is not thread-safe-free, and one thread is enough to saturate the
+chip because ``predict_fn`` is asynchronous under the hood.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Dict
+
+import numpy as np
+
+
+class _Pending:
+    __slots__ = ("tiles", "future", "results", "done", "arrived")
+
+    def __init__(self, tiles: np.ndarray):
+        self.tiles = tiles
+        self.future: Future = Future()
+        self.results = np.empty((tiles.shape[0],), np.float32)
+        self.done = 0
+        self.arrived = time.monotonic()
+
+    @property
+    def remaining(self) -> int:
+        return self.tiles.shape[0] - self.done
+
+
+class DynamicBatcher:
+    """Coalesce concurrent prediction requests into fixed-size batches.
+
+    ``predict_fn`` takes a float32 ``(batch_size, H, W, C)`` array and
+    returns ``(batch_size,)`` float32 predictions; it is only ever called
+    with exactly ``batch_size`` rows.
+    """
+
+    def __init__(
+        self,
+        predict_fn: Callable[[np.ndarray], np.ndarray],
+        batch_size: int,
+        tile_shape,
+        max_delay_ms: float = 5.0,
+    ):
+        if batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {batch_size}")
+        self._predict = predict_fn
+        self._batch_size = batch_size
+        self._tile_shape = tuple(tile_shape)  # (H, W, C)
+        self._max_delay = max_delay_ms / 1000.0
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self._stats = {
+            "requests": 0,
+            "tiles": 0,
+            "batches": 0,
+            "padded_rows": 0,
+            "device_seconds": 0.0,
+        }
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._run, name="crosstalk-batcher", daemon=True
+        )
+        self._thread.start()
+
+    # ---- client side ----------------------------------------------------
+
+    def submit(self, tiles: np.ndarray) -> Future:
+        """Queue ``(n, H, W, C)`` tiles; the Future resolves to ``(n,)``
+        float32 alphas (or raises the batch's prediction error)."""
+        tiles = np.ascontiguousarray(tiles, dtype=np.float32)
+        if tiles.ndim != 4 or tiles.shape[1:] != self._tile_shape:
+            raise ValueError(
+                f"expected (n, {', '.join(map(str, self._tile_shape))}) tiles, "
+                f"got {tiles.shape}"
+            )
+        if tiles.shape[0] == 0:
+            raise ValueError("empty request")
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        item = _Pending(tiles)
+        with self._stats_lock:
+            self._stats["requests"] += 1
+            self._stats["tiles"] += tiles.shape[0]
+        self._queue.put(item)
+        return item.future
+
+    def stats(self) -> Dict:
+        with self._stats_lock:
+            out = dict(self._stats)
+        out["batch_size"] = self._batch_size
+        out["max_delay_ms"] = self._max_delay * 1000.0
+        if out["batches"]:
+            out["mean_batch_occupancy"] = 1.0 - out["padded_rows"] / (
+                out["batches"] * self._batch_size
+            )
+        return out
+
+    def close(self) -> None:
+        """Flush outstanding work and stop the dispatcher thread."""
+        if not self._closed:
+            self._closed = True
+            self._queue.put(None)
+            self._thread.join()
+
+    # ---- dispatcher thread ----------------------------------------------
+
+    def _drain_queue(self, backlog, timeout) -> bool:
+        """Move queued items into ``backlog``; block up to ``timeout`` for
+        the first one. Returns False when the shutdown sentinel arrives."""
+        try:
+            item = self._queue.get(timeout=timeout)
+        except queue.Empty:
+            return True
+        while True:
+            if item is None:
+                return False
+            backlog.append(item)
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return True
+
+    def _run(self) -> None:
+        backlog: "collections.deque[_Pending]" = collections.deque()
+        running = True
+        while running or backlog:
+            if running:
+                if backlog:
+                    # Wait for more rows only until the oldest row's deadline.
+                    deadline = backlog[0].arrived + self._max_delay
+                    rows = sum(p.remaining for p in backlog)
+                    if rows < self._batch_size:
+                        wait = deadline - time.monotonic()
+                        if wait > 0:
+                            running = self._drain_queue(backlog, wait)
+                else:
+                    running = self._drain_queue(backlog, None)
+                    if not backlog:
+                        continue
+            rows = sum(p.remaining for p in backlog)
+            if rows == 0:
+                backlog.clear()
+                continue
+            if running and rows < self._batch_size and (
+                time.monotonic() < backlog[0].arrived + self._max_delay
+            ):
+                continue  # not full and the latency bound hasn't expired
+            self._dispatch_one(backlog)
+
+    def _dispatch_one(self, backlog: "collections.deque[_Pending]") -> None:
+        batch = np.zeros((self._batch_size,) + self._tile_shape, np.float32)
+        took = []  # (pending, dst_start, src_start, n)
+        filled = 0
+        while backlog and filled < self._batch_size:
+            p = backlog[0]
+            n = min(p.remaining, self._batch_size - filled)
+            batch[filled : filled + n] = p.tiles[p.done : p.done + n]
+            took.append((p, filled, p.done, n))
+            p.done += n
+            filled += n
+            if p.remaining == 0:
+                backlog.popleft()
+        t0 = time.monotonic()
+        try:
+            preds = np.asarray(self._predict(batch), np.float32).reshape(-1)
+            if preds.shape[0] != self._batch_size:
+                raise RuntimeError(
+                    f"predict_fn returned {preds.shape[0]} rows, "
+                    f"expected {self._batch_size}"
+                )
+        except Exception as e:  # resolve every touched request with the error
+            for p, _, _, _ in took:
+                if not p.future.done():
+                    p.future.set_exception(e)
+                if p in backlog:  # drop its unscheduled rows — the request
+                    backlog.remove(p)  # is already resolved
+            return
+        dt = time.monotonic() - t0
+        for p, dst, src, n in took:
+            p.results[src : src + n] = preds[dst : dst + n]
+            if p.done == p.tiles.shape[0] and not p.future.done():
+                p.future.set_result(p.results)
+        with self._stats_lock:
+            self._stats["batches"] += 1
+            self._stats["padded_rows"] += self._batch_size - filled
+            self._stats["device_seconds"] += dt

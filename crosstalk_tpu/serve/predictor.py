@@ -1,0 +1,90 @@
+"""Build the jitted fixed-shape predict function for serving.
+
+One program, one shape: normalization + forward compile once for the
+serving batch size (the batcher pads every flush to that shape). The
+forward is the folded-BN bf16 serving path by default (see
+eval/fast_forward.py — measured ~6x the module path, 5,141 tiles/s/chip on
+a v5e-1), with the f32 flax-module path available for checkpoint-parity
+serving. With a multi-device mesh the batch is sharded over the 'data'
+axis and params are replicated (GSPMD inserts the gather of the
+(batch,)-sized result).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from crosstalk_tpu.config import ModelConfig
+from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+
+
+def make_predictor(
+    variables,
+    model_cfg: ModelConfig,
+    batch_size: int,
+    image_size: int = 256,
+    fast: bool = True,
+    mesh=None,
+    use_pallas: Optional[bool] = None,
+    warmup: bool = True,
+) -> Callable[[np.ndarray], np.ndarray]:
+    """-> fn((batch_size, H, W, C) float32 np) -> (batch_size,) float32 np.
+
+    ``fast`` selects the folded-BN bf16 serving forward; False uses the flax
+    module in the config's compute dtype (f32 for checkpoint parity).
+    ``use_pallas`` defaults to True exactly when running single-device on a
+    TPU backend (the Mosaic kernel has no GSPMD partitioning rule).
+    """
+    n_channels = 2
+    if fast:
+        from crosstalk_tpu.eval.fast_forward import make_fast_forward
+
+        if use_pallas is None:
+            platform = jax.devices()[0].platform
+            use_pallas = platform in ("tpu", "axon") and mesh is None
+        forward = make_fast_forward(model_cfg, use_pallas=use_pallas)
+    else:
+        from crosstalk_tpu.models import build_model
+
+        model = build_model(model_cfg)
+
+        def forward(variables, batch):
+            return model.apply(variables, batch, train=False)
+
+    def step(variables, raw):
+        return forward(variables, normalize_batch_nhwc(raw))[:, 0]
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if batch_size % mesh.size != 0:
+            raise ValueError(
+                f"serving batch size {batch_size} must divide across the "
+                f"{mesh.size}-device mesh"
+            )
+        batch_sharding = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
+        variables = jax.device_put(variables, replicated)
+        step = jax.jit(
+            step,
+            in_shardings=(replicated, NamedSharding(mesh, P("data", None, None, None))),
+            out_shardings=batch_sharding,
+        )
+    else:
+        step = jax.jit(step)
+        variables = jax.device_put(variables)
+
+    def predict(raw: np.ndarray) -> np.ndarray:
+        if raw.shape != (batch_size, image_size, image_size, n_channels):
+            raise ValueError(
+                f"predict expects shape {(batch_size, image_size, image_size, n_channels)}, "
+                f"got {raw.shape}"
+            )
+        return np.asarray(step(variables, raw))
+
+    if warmup:  # compile before the first request arrives
+        predict(np.zeros((batch_size, image_size, image_size, n_channels), np.float32))
+    return predict

@@ -1,0 +1,169 @@
+"""HTTP inference server (stdlib-only; no extra dependencies).
+
+Endpoints:
+  POST /predict  — body: an ``.npz`` archive (``np.savez``) with either
+                   ``tiles`` of shape (n, H, W, 2) float-like, or paired
+                   ``mixed`` + ``source`` arrays of shape (n, H, W).
+                   Response: ``{"alpha": [...], "n": n}``. Tiles are
+                   min-max normalized on device (reference semantics,
+                   train_model.py:211-216) — send raw intensities.
+  GET  /healthz  — liveness + model identity.
+  GET  /stats    — batching/throughput counters (see batcher.stats()).
+
+The handler threads only parse bytes and wait on a Future; all device work
+happens on the batcher's single dispatcher thread at one static batch
+shape. ``ThreadingHTTPServer`` gives one thread per connection, which is
+plenty — request handling is IO-bound.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+from crosstalk_tpu.serve.batcher import DynamicBatcher
+
+_MAX_BODY = 1 << 30  # 1 GiB: ~2,000 256x256 float64 pairs
+
+
+def _decode_request(body: bytes, tile_hw) -> np.ndarray:
+    """npz bytes -> (n, H, W, 2) float32 tiles. Raises ValueError."""
+    try:
+        with np.load(io.BytesIO(body)) as npz:
+            if "tiles" in npz:
+                tiles = np.asarray(npz["tiles"], np.float32)
+            elif "mixed" in npz and "source" in npz:
+                mixed = np.asarray(npz["mixed"], np.float32)
+                source = np.asarray(npz["source"], np.float32)
+                if mixed.shape != source.shape:
+                    raise ValueError(
+                        f"mixed {mixed.shape} and source {source.shape} "
+                        "shapes differ"
+                    )
+                if mixed.ndim == 2:
+                    mixed, source = mixed[None], source[None]
+                tiles = np.stack([mixed, source], axis=-1)
+            else:
+                raise ValueError(
+                    "npz must contain 'tiles' (n, H, W, 2) or "
+                    "'mixed' + 'source' (n, H, W)"
+                )
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"body is not a readable .npz archive: {e}")
+    if tiles.ndim == 3 and tiles.shape[-1] == 2:
+        tiles = tiles[None]
+    if tiles.ndim != 4 or tiles.shape[-1] != 2:
+        raise ValueError(f"expected (n, H, W, 2) tiles, got {tiles.shape}")
+    if tiles.shape[1:3] != tuple(tile_hw):
+        raise ValueError(
+            f"model serves {tile_hw[0]}x{tile_hw[1]} tiles, got "
+            f"{tiles.shape[1]}x{tiles.shape[2]}"
+        )
+    return tiles
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set on the server instance: batcher, model_info, tile_hw
+    protocol_version = "HTTP/1.1"
+
+    def _send_json(self, code: int, payload: Dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 (stdlib casing)
+        if self.path == "/healthz":
+            self._send_json(200, {"status": "ok", **self.server.model_info})
+        elif self.path == "/stats":
+            self._send_json(200, self.server.batcher.stats())
+        else:
+            self._send_json(404, {"error": f"no such endpoint: {self.path}"})
+
+    def do_POST(self):  # noqa: N802
+        if self.path != "/predict":
+            self._send_json(404, {"error": f"no such endpoint: {self.path}"})
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        if length <= 0 or length > _MAX_BODY:
+            self._send_json(400, {"error": f"bad Content-Length: {length}"})
+            return
+        body = self.rfile.read(length)
+        try:
+            tiles = _decode_request(body, self.server.tile_hw)
+            alphas = self.server.batcher.submit(tiles).result(
+                timeout=self.server.request_timeout
+            )
+        except ValueError as e:
+            self._send_json(400, {"error": str(e)})
+            return
+        except Exception as e:
+            self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        self._send_json(
+            200, {"alpha": [float(a) for a in alphas], "n": int(len(alphas))}
+        )
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if self.server.verbose:
+            super().log_message(fmt, *args)
+
+
+class CrosstalkServer:
+    """Own the HTTP listener + batcher; serve until ``shutdown()``."""
+
+    def __init__(
+        self,
+        predict_fn,
+        batch_size: int,
+        image_size: int = 256,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_delay_ms: float = 5.0,
+        model_info: Optional[Dict] = None,
+        request_timeout: float = 120.0,
+        verbose: bool = False,
+    ):
+        self.batcher = DynamicBatcher(
+            predict_fn,
+            batch_size,
+            tile_shape=(image_size, image_size, 2),
+            max_delay_ms=max_delay_ms,
+        )
+        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        self._httpd.batcher = self.batcher
+        self._httpd.tile_hw = (image_size, image_size)
+        self._httpd.model_info = model_info or {}
+        self._httpd.request_timeout = request_timeout
+        self._httpd.verbose = verbose
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self):
+        """(host, port) actually bound (port resolved when 0 was passed)."""
+        return self._httpd.server_address
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def start_background(self) -> None:
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="crosstalk-http", daemon=True
+        )
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join()
+        self.batcher.close()

@@ -1,0 +1,281 @@
+"""Serving subsystem: dynamic batcher, fixed-shape predictor, HTTP server.
+
+No reference counterpart (the reference is offline-only); these tests pin
+the serving contract: requests of any size produce the same predictions as
+a direct forward, concurrent small requests share device batches, and the
+HTTP surface round-trips npz tiles to JSON alphas.
+"""
+
+import io
+import json
+import subprocess
+import sys
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from crosstalk_tpu.config import ModelConfig
+from crosstalk_tpu.serve.batcher import DynamicBatcher
+
+TILE = (8, 8, 2)
+
+
+def _mean_predict(batch):
+    return batch.mean(axis=(1, 2, 3))
+
+
+def test_batcher_sizes_and_padding():
+    b = DynamicBatcher(_mean_predict, batch_size=4, tile_shape=TILE,
+                       max_delay_ms=1.0)
+    try:
+        rng = np.random.default_rng(0)
+        for n in (1, 3, 4, 7, 11):  # below / at / spanning the batch size
+            tiles = rng.random((n,) + TILE, np.float32)
+            got = b.submit(tiles).result(timeout=30)
+            np.testing.assert_allclose(got, _mean_predict(tiles), rtol=1e-6)
+        stats = b.stats()
+        assert stats["requests"] == 5
+        assert stats["tiles"] == 26
+        assert stats["batches"] >= 7  # 26 rows / 4 per batch
+    finally:
+        b.close()
+
+
+def test_batcher_coalesces_concurrent_requests():
+    calls = []
+
+    def predict(batch):
+        calls.append(batch.shape[0])
+        time.sleep(0.01)  # let the queue fill behind the device call
+        return _mean_predict(batch)
+
+    b = DynamicBatcher(predict, batch_size=8, tile_shape=TILE,
+                       max_delay_ms=200.0)
+    try:
+        rng = np.random.default_rng(1)
+        tiles = [rng.random((1,) + TILE, np.float32) for _ in range(16)]
+        results = [None] * 16
+
+        def worker(i):
+            results[i] = b.submit(tiles[i]).result(timeout=30)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(16):
+            np.testing.assert_allclose(
+                results[i], _mean_predict(tiles[i]), rtol=1e-6
+            )
+        # 16 one-tile requests must NOT have taken 16 device calls
+        assert b.stats()["batches"] < 16
+    finally:
+        b.close()
+
+
+def test_batcher_error_propagates_and_recovers():
+    state = {"fail": True}
+
+    def predict(batch):
+        if state["fail"]:
+            raise RuntimeError("boom")
+        return _mean_predict(batch)
+
+    b = DynamicBatcher(predict, batch_size=2, tile_shape=TILE, max_delay_ms=1.0)
+    try:
+        bad = b.submit(np.zeros((3,) + TILE, np.float32))
+        with pytest.raises(RuntimeError, match="boom"):
+            bad.result(timeout=30)
+        state["fail"] = False  # the dispatcher must survive the failed batch
+        tiles = np.random.default_rng(2).random((2,) + TILE, np.float32)
+        np.testing.assert_allclose(
+            b.submit(tiles).result(timeout=30), _mean_predict(tiles), rtol=1e-6
+        )
+    finally:
+        b.close()
+
+
+def test_batcher_validates_and_closes():
+    b = DynamicBatcher(_mean_predict, batch_size=2, tile_shape=TILE,
+                       max_delay_ms=1.0)
+    with pytest.raises(ValueError):
+        b.submit(np.zeros((2, 8, 8, 3), np.float32))  # wrong channels
+    with pytest.raises(ValueError):
+        b.submit(np.zeros((0,) + TILE, np.float32))  # empty
+    pending = b.submit(np.zeros((5,) + TILE, np.float32))
+    b.close()  # must flush the outstanding request first
+    assert pending.result(timeout=30).shape == (5,)
+    with pytest.raises(RuntimeError):
+        b.submit(np.zeros((1,) + TILE, np.float32))
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from crosstalk_tpu.models import build_model, init_model
+
+    cfg = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=3,
+                      compute_dtype="f32")
+    model = build_model(cfg)
+    variables = init_model(model, jax.random.key(0), image_size=32, batch=2)
+    return cfg, model, variables
+
+
+def test_predictor_matches_module_forward(tiny_model):
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.serve.predictor import make_predictor
+
+    cfg, model, variables = tiny_model
+    predict = make_predictor(variables, cfg, batch_size=4, image_size=32,
+                             fast=False)
+    raw = np.random.default_rng(3).random((4, 32, 32, 2), np.float32) * 7.0
+    golden = np.asarray(
+        model.apply(variables, normalize_batch_nhwc(raw), train=False)
+    )[:, 0]
+    np.testing.assert_allclose(predict(raw), golden, rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError):
+        predict(np.zeros((3, 32, 32, 2), np.float32))  # not the static shape
+
+
+def test_predictor_fast_path_close_to_module(tiny_model):
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.serve.predictor import make_predictor
+
+    cfg, model, variables = tiny_model
+    predict = make_predictor(variables, cfg, batch_size=4, image_size=32,
+                             fast=True, use_pallas=False)
+    raw = np.random.default_rng(4).random((4, 32, 32, 2), np.float32)
+    golden = np.asarray(
+        model.apply(variables, normalize_batch_nhwc(raw), train=False)
+    )[:, 0]
+    np.testing.assert_allclose(predict(raw), golden, atol=2e-2)  # bf16 path
+
+
+def _post_npz(url, **arrays):
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    req = urllib.request.Request(url + "/predict", data=buf.getvalue())
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.load(resp)
+
+
+@pytest.fixture()
+def running_server(tiny_model):
+    from crosstalk_tpu.serve.predictor import make_predictor
+    from crosstalk_tpu.serve.server import CrosstalkServer
+
+    cfg, model, variables = tiny_model
+    predict = make_predictor(variables, cfg, batch_size=4, image_size=32,
+                             fast=False)
+    server = CrosstalkServer(predict, batch_size=4, image_size=32,
+                             port=0, max_delay_ms=2.0,
+                             model_info={"model": "single"})
+    server.start_background()
+    host, port = server.address
+    yield f"http://{host}:{port}", model, variables
+    server.shutdown()
+
+
+def test_http_predict_roundtrip(running_server):
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+
+    url, model, variables = running_server
+    rng = np.random.default_rng(5)
+    mixed = rng.random((3, 32, 32), np.float64)  # float64 like the real TIFFs
+    source = rng.random((3, 32, 32), np.float64)
+    out = _post_npz(url, mixed=mixed, source=source)
+    assert out["n"] == 3
+    raw = np.stack([mixed, source], axis=-1).astype(np.float32)
+    golden = np.asarray(
+        model.apply(variables, normalize_batch_nhwc(raw), train=False)
+    )[:, 0]
+    np.testing.assert_allclose(out["alpha"], golden, rtol=1e-5, atol=1e-5)
+
+    # stacked-tiles form + single-tile (n dim omitted) form
+    out2 = _post_npz(url, tiles=raw)
+    np.testing.assert_allclose(out2["alpha"], golden, rtol=1e-5, atol=1e-5)
+    out3 = _post_npz(url, tiles=raw[0])
+    np.testing.assert_allclose(out3["alpha"], golden[:1], rtol=1e-5, atol=1e-5)
+
+
+def test_http_health_stats_and_errors(running_server):
+    url, _, _ = running_server
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as resp:
+        health = json.load(resp)
+    assert health["status"] == "ok" and health["model"] == "single"
+
+    _post_npz(url, mixed=np.zeros((1, 32, 32)), source=np.ones((1, 32, 32)))
+    with urllib.request.urlopen(url + "/stats", timeout=30) as resp:
+        stats = json.load(resp)
+    assert stats["batches"] >= 1 and stats["batch_size"] == 4
+
+    # malformed body -> 400 with a JSON error, server stays up
+    req = urllib.request.Request(url + "/predict", data=b"not-an-npz")
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc_info.value.code == 400
+    assert "error" in json.load(exc_info.value)
+
+    # wrong tile size -> 400
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post_npz(url, tiles=np.zeros((1, 16, 16, 2)))
+    assert exc_info.value.code == 400
+
+    # unknown endpoint -> 404
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(url + "/nope", timeout=30)
+    assert exc_info.value.code == 404
+
+
+def test_serve_cli_subprocess(tmp_path):
+    """Full CLI drive: load a real torch .pth (full-width single model at
+    64px), serve it, query it over HTTP, compare against the torch twin."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_ref import TorchSingle, burn_in_batch_stats
+
+    torch.manual_seed(7)
+    tmodel = TorchSingle(image_size=64)
+    burn_in_batch_stats(tmodel, 64, steps=2)
+    ckpt = str(tmp_path / "model.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "crosstalk_tpu.cli.serve",
+         "-p", ckpt, "-o", "single", "--port", "0", "--image_size", "64",
+         "--batch_size", "4", "--parity"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        url = None
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            if not line and proc.poll() is not None:
+                raise AssertionError("serve CLI exited before listening")
+            if line.startswith("Serving on "):
+                url = line.split()[2]
+                break
+        assert url, "never saw the 'Serving on' line"
+
+        rng = np.random.default_rng(8)
+        mixed = rng.random((5, 64, 64), np.float64)
+        source = rng.random((5, 64, 64), np.float64)
+        out = _post_npz(url, mixed=mixed, source=source)
+
+        raw = np.stack([mixed, source], axis=-1).astype(np.float32)
+        lo = raw.min(axis=(1, 2), keepdims=True)
+        hi = raw.max(axis=(1, 2), keepdims=True)
+        norm = (raw - lo) / (hi - lo)
+        with torch.no_grad():
+            golden = tmodel(
+                torch.from_numpy(norm.transpose(0, 3, 1, 2))
+            ).numpy().ravel()
+        np.testing.assert_allclose(out["alpha"], golden, rtol=1e-4, atol=1e-4)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
