@@ -10,7 +10,9 @@ final .pth, loss/LR plots, per-split prediction CSVs + scatter plots —
 
 TPU-native extensions beyond the reference surface: --compute_dtype,
 --output_base, --resume (full native checkpoint resume), --num_devices
-(data-parallel mesh; default = all visible devices).
+(data-parallel mesh; default = all visible devices), --multihost +
+--coordinator_address/--num_processes/--process_id (multi-process cluster
+over DCN; see parallel/distributed.py).
 """
 
 from __future__ import annotations
@@ -76,6 +78,18 @@ def build_parser() -> argparse.ArgumentParser:
                              "(note: a genuinely constant tile yields NaN "
                              "correlation metrics by reference semantics and "
                              "will trip this during post-training eval)")
+    # Multi-host (one process per host; see parallel/distributed.py). On TPU
+    # pods all three are auto-detected — pass --multihost alone. The CROSSTALK_
+    # COORDINATOR/NUM_PROCESSES/PROCESS_ID env vars are an alternative to flags.
+    parser.add_argument("--multihost", action="store_true",
+                        help="Join a multi-process cluster "
+                             "(jax.distributed.initialize)")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 (TPU pods: auto)")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="Total process count (TPU pods: auto)")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="This process's rank (TPU pods: auto)")
     return parser
 
 
@@ -101,13 +115,30 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
 
+    import os
+
+    if (args.multihost or args.coordinator_address
+            or os.environ.get("CROSSTALK_COORDINATOR")):
+        from crosstalk_tpu.parallel.distributed import initialize
+
+        initialize(args.coordinator_address, args.num_processes,
+                   args.process_id)
+    primary = jax.process_index() == 0
+    if not primary:
+        # rank 0 owns stdout + artifacts; other ranks run the identical
+        # compute silently (losses are mesh-global, so control flow agrees)
+        sys.stdout = open(os.devnull, "w")
+
     devices = jax.devices()
     n_dev = args.num_devices or len(devices)
     if n_dev > len(devices):
         print(f"Error: --num_devices {n_dev} requested but only "
               f"{len(devices)} device(s) are visible.")
         return 1
-    print(f"Using device: {devices[0].platform} x{n_dev} ({devices[0].device_kind})")
+    print(f"Using device: {devices[0].platform} x{n_dev} "
+          f"({devices[0].device_kind})"
+          + (f", {jax.process_count()} processes"
+             if jax.process_count() > 1 else ""))
 
     if args.resume:
         # A resumed run continues the SAME run: the hyperparameters that
@@ -152,21 +183,26 @@ def main(argv=None) -> int:
         m = re.search(r"training_run_(.*)_B\d+_LR", run_dir)
         ts = m.group(1) if m else artifacts.timestamp()
         print(f"Resuming run in: {run_dir}")
-    else:
+    elif primary:
         ts = artifacts.timestamp()
         run_dir = artifacts.make_training_run_dir(
             args.output_base, ts, args.batch_size, args.learning_rate
         )
+    else:  # non-primary ranks never create or write the run dir
+        ts = artifacts.timestamp()
+        run_dir = f"{args.output_base}/training_run_rank{jax.process_index()}"
     print(f"Saving all outputs to: {run_dir}")
 
     # On resume, params.txt is the ORIGINAL run's hyperparameter record —
     # preserve it and log the resume invocation separately.
-    if args.resume:
-        artifacts.write_params_txt(run_dir, vars(args), filename="params_resume.txt")
-        print(f"Resume parameters saved to {run_dir}/params_resume.txt")
-    else:
-        artifacts.write_params_txt(run_dir, vars(args))
-        print(f"Parameters saved to {run_dir}/params.txt")
+    if primary:
+        if args.resume:
+            artifacts.write_params_txt(run_dir, vars(args),
+                                       filename="params_resume.txt")
+            print(f"Resume parameters saved to {run_dir}/params_resume.txt")
+        else:
+            artifacts.write_params_txt(run_dir, vars(args))
+            print(f"Parameters saved to {run_dir}/params.txt")
 
     print("\nCreating dataset instances for initial file listing...")
     try:
@@ -226,8 +262,10 @@ def main(argv=None) -> int:
     tx = make_optimizer(optim_cfg)
     image_size = int(stores["train"].tiles.shape[1])  # size the head from data
     variables = init_model(model, jax.random.key(args.seed), image_size=image_size)
-    artifacts.write_architecture_txt(run_dir, torch_style_repr(model_cfg))
-    print(f"Model architecture summary saved to {run_dir}/model_architecture.txt")
+    if primary:
+        artifacts.write_architecture_txt(run_dir, torch_style_repr(model_cfg))
+        print(f"Model architecture summary saved to "
+              f"{run_dir}/model_architecture.txt")
     state = init_train_state(model, variables, tx)
 
     print("\nStarting training with validation...")
@@ -239,6 +277,11 @@ def main(argv=None) -> int:
             naming_batch_size=args.batch_size,
         )
     print("Training finished!")
+
+    if not primary:
+        # training collectives are done; the final artifacts + the (local,
+        # meshless) post-training evaluation belong to rank 0
+        return 0
 
     # final .pth with a fresh timestamp (train_model.py:644-648)
     ts2 = artifacts.timestamp()

@@ -193,16 +193,32 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
     with a `NamedSharding` so each data-parallel shard lands directly on its
     device) and yields them in order. JAX transfers are async, so by the time
     the consumer blocks on batch k, batch k+1's copy is already streaming.
+
+    Multi-host: when the sharded mesh spans processes, each process uploads
+    only ITS row range of the host batch (mesh device order — see
+    parallel/distributed.py) and the batches become global jax.Arrays.
     """
     import collections
 
     import jax
 
     queue = collections.deque()
+    multihost = sharding is not None and jax.process_count() > 1
+    if multihost:
+        from crosstalk_tpu.parallel.distributed import (
+            make_global_batch,
+            process_row_slice,
+        )
 
     def _put(batch: Batch):
         if sharding is None:
             return jax.device_put(batch)
+        if multihost:
+            rows = batch.inputs.shape[0]
+            sl = process_row_slice(rows)
+            return Batch(
+                *(make_global_batch(sharding, x[sl], rows) for x in batch)
+            )
         return Batch(*(jax.device_put(x, sharding) for x in batch))
 
     for batch in iterator:

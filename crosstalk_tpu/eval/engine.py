@@ -106,6 +106,7 @@ def evaluate(
         sharding = NamedSharding(mesh, P("data"))
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
 
+    multihost = jax.process_count() > 1 and sharding is not None
     batches = device_prefetch(iterate_batches(store, batch_size), sharding=sharding)
     if desc is not None:
         batches = progress(batches, desc=desc,
@@ -114,10 +115,20 @@ def evaluate(
         out = _eval_step(
             apply_fn, variables, batch.inputs, batch.labels, batch.mask, with_metrics
         )
-        out = {k: np.asarray(v) for k, v in out.items()}
-        mask = np.asarray(batch.mask)
-        labels = np.asarray(batch.labels)[:, 0]
-        ids = np.asarray(batch.ids)
+        if multihost:
+            # every process holds only its shard of the outputs; gather so
+            # all build the identical full row list (rank 0 writes the CSV)
+            from crosstalk_tpu.parallel.distributed import allgather_to_host
+
+            out, mask, labels, ids = allgather_to_host(
+                (out, batch.mask, batch.labels, batch.ids)
+            )
+            labels = labels[:, 0]
+        else:
+            out = {k: np.asarray(v) for k, v in out.items()}
+            mask = np.asarray(batch.mask)
+            labels = np.asarray(batch.labels)[:, 0]
+            ids = np.asarray(batch.ids)
         real = int(mask.sum())
         total_sq_err += float(out["sq_err"].sum())
         total_n += real
@@ -163,11 +174,15 @@ def evaluate_and_save(
 
     from crosstalk_tpu.io import artifacts
 
+    primary = jax.process_index() == 0
     rows, loss = evaluate(
         model, variables, store, batch_size, with_metrics,
         forward_fn=forward_fn, mesh=mesh,
-        desc=f"{dataset_name.capitalize()} Set Evaluation",
+        desc=(f"{dataset_name.capitalize()} Set Evaluation"
+              if primary else None),
     )
+    if not primary:  # rank 0 owns artifacts in multi-host runs
+        return loss
     print(f"Final {dataset_name.capitalize()} Loss: {loss:.6f}")
 
     if train_suffix is not None:

@@ -151,6 +151,23 @@ class TrainingLog:
         self.close()
 
 
+class NullTrainingLog:
+    """No-op log for non-primary processes in multi-host runs — rank 0 owns
+    the training_log CSV (parallel/distributed.py)."""
+
+    def log_epoch(self, *args, **kwargs):
+        pass
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass
+
+
 def write_predictions_csv(path: str, rows: Sequence[Dict], fieldnames: List[str]) -> str:
     with open(path, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=fieldnames)

@@ -6,9 +6,10 @@ models are 13M/137M params — trivially per-chip — and inputs are fixed
 1-axis 'data' mesh; gradients/BN stats reduce over ICI via psum inside the
 shard_mapped step (train/steps.py).
 
-Multi-host (DCN) would extend this by calling jax.distributed.initialize()
-before mesh construction — the shard_map code is unchanged because GSPMD
-addresses global devices.
+Multi-host (DCN) extends this via parallel/distributed.py: initialize()
+joins the jax.distributed cluster before mesh construction, after which
+``data_mesh()`` spans the GLOBAL device set — the shard_map code is
+unchanged because GSPMD addresses global devices.
 """
 
 from __future__ import annotations

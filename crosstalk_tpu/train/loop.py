@@ -86,6 +86,12 @@ def train_model(
     sharding = batch_sharding(mesh)
     state = replicate_state(state, mesh)
 
+    # Multi-host: every process runs the identical loop (the losses are
+    # mesh-global reductions, so control flow — best-model, early stop,
+    # schedule — stays in lockstep), but artifacts/logs/prints belong to
+    # process 0 alone (parallel/distributed.py).
+    primary = jax.process_index() == 0
+
     train_losses: List[float] = []
     val_losses: List[float] = []
     lr_history: List[float] = []
@@ -108,13 +114,15 @@ def train_model(
             val_losses = list(meta["val_losses"])
             lr_history = list(meta["lr_history"])
             schedule.load_state_dict(meta["schedule"])
-            print(f"Resumed from epoch {start_epoch} (best val {best_val_loss:.6f})")
+            if primary:
+                print(f"Resumed from epoch {start_epoch} "
+                      f"(best val {best_val_loss:.6f})")
 
     log = artifacts.TrainingLog(
         run_dir, ts, naming_bs, optim_cfg.learning_rate,
         schedule.scheduler_type, schedule.params_dict,
         resume_from_epoch=start_epoch if resume else None,
-    )
+    ) if primary else artifacts.NullTrainingLog()
 
     meter = Throughput()
     for epoch in range(start_epoch, train_cfg.num_epochs):
@@ -131,7 +139,8 @@ def train_model(
                 ),
                 sharding=sharding,
             ),
-            desc=f"Epoch {epoch + 1}/{train_cfg.num_epochs} [Train]",
+            desc=(f"Epoch {epoch + 1}/{train_cfg.num_epochs} [Train]"
+                  if primary else None),
             total=steps_per_epoch,
         ):
             lr = schedule.lr_for_step(global_step)
@@ -153,7 +162,8 @@ def train_model(
             device_prefetch(
                 iterate_batches(val_store, batch_size), sharding=sharding
             ),
-            desc=f"Epoch {epoch + 1}/{train_cfg.num_epochs} [Val]",
+            desc=(f"Epoch {epoch + 1}/{train_cfg.num_epochs} [Val]"
+                  if primary else None),
             total=num_batches(len(val_store), batch_size),
         ):
             s, c = val_step(
@@ -172,29 +182,33 @@ def train_model(
         if val_loss < best_val_loss:
             best_val_loss = val_loss
             epochs_without_improvement = 0
-            best_path = f"{run_dir}/best_model_{schedule.scheduler_type}.pth"
-            save_pth(
-                best_path,
-                {"params": state.params, "batch_stats": state.batch_stats},
-                model_variant,
-            )
+            if primary:
+                best_path = f"{run_dir}/best_model_{schedule.scheduler_type}.pth"
+                save_pth(
+                    best_path,
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    model_variant,
+                )
         else:
             epochs_without_improvement += 1
 
         current_lr = schedule.lr_for_step(global_step)
         meter.add(steps_per_epoch * batch_size)
         tiles_per_sec = meter.tiles_per_sec
-        print(
-            f"Epoch [{epoch + 1}/{train_cfg.num_epochs}] | "
-            f"Train Loss: {train_loss:.6f} | Val Loss: {val_loss:.6f} | "
-            f"LR: {current_lr:.2e} | {tiles_per_sec:,.0f} tiles/s"
-        )
+        if primary:
+            print(
+                f"Epoch [{epoch + 1}/{train_cfg.num_epochs}] | "
+                f"Train Loss: {train_loss:.6f} | Val Loss: {val_loss:.6f} | "
+                f"LR: {current_lr:.2e} | {tiles_per_sec:,.0f} tiles/s"
+            )
         log.log_epoch(epoch + 1, train_loss, val_loss, current_lr)
 
         # ---- native resume checkpoint (every checkpoint_every epochs and on
         #      the final epoch; a 137M-param state is ~1.6 GB per write)
         ckpt_every = getattr(train_cfg, "checkpoint_every", 1)
-        if (epoch + 1) % ckpt_every == 0 or epoch + 1 == train_cfg.num_epochs:
+        if primary and (
+            (epoch + 1) % ckpt_every == 0 or epoch + 1 == train_cfg.num_epochs
+        ):
             checkpoint.save_checkpoint(
                 run_dir,
                 state,
@@ -211,16 +225,18 @@ def train_model(
             )
 
         if epochs_without_improvement >= schedule.early_stop_patience:
-            print(
-                f"Early stopping triggered after {epoch + 1} epochs "
-                f"(no improvement for {schedule.early_stop_patience} epochs)"
-            )
+            if primary:
+                print(
+                    f"Early stopping triggered after {epoch + 1} epochs "
+                    f"(no improvement for {schedule.early_stop_patience} epochs)"
+                )
             break
 
     log.close()
-    artifacts.plot_lr_schedule(run_dir, lr_history, schedule.scheduler_type)
-    print(
-        f"Learning rate schedule plot saved to "
-        f"{run_dir}/lr_schedule_{schedule.scheduler_type}.png"
-    )
+    if primary:
+        artifacts.plot_lr_schedule(run_dir, lr_history, schedule.scheduler_type)
+        print(
+            f"Learning rate schedule plot saved to "
+            f"{run_dir}/lr_schedule_{schedule.scheduler_type}.png"
+        )
     return state, train_losses, val_losses

@@ -13,8 +13,11 @@ queue fills the two advance together.
 from __future__ import annotations
 
 
-def progress(iterable, desc: str, total: int | None = None):
-    """Wrap an iterable in a tqdm bar; pass through if tqdm is unavailable."""
+def progress(iterable, desc: str | None, total: int | None = None):
+    """Wrap an iterable in a tqdm bar; pass through if tqdm is unavailable
+    or ``desc`` is None (non-primary processes in multi-host runs)."""
+    if desc is None:
+        return iterable
     try:
         from tqdm import tqdm
     except ImportError:  # tqdm is optional — plain iteration is fine

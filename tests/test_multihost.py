@@ -1,0 +1,175 @@
+"""Multi-host (multi-process) data parallelism.
+
+Two real OS processes form a JAX cluster over localhost (Gloo CPU
+collectives), each contributing 4 virtual devices to one global 8-device
+'data' mesh — the CPU-faithful analogue of a 2-host TPU pod slice. The
+equivalence chain these tests close: multi-host step == single-process
+8-device step (here) == single-device step (test_training.py).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    # the workers provision their own 4-device CPU platform
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    return env
+
+
+def _launch_pair(script_args, env=None, timeout=420):
+    """Run rank 0 and rank 1 subprocesses to completion -> list of stdout."""
+    env = env or _worker_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, *script_args(rank)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO,
+        )
+        for rank in (0, 1)
+    ]
+    outs = []
+    for rank, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+    return outs
+
+
+def test_two_process_step_matches_single_process():
+    """The cross-process train step produces the same loss and updated
+    params as the identical step on this process's own 8-device mesh."""
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "multihost_worker.py")
+    outs = _launch_pair(lambda rank: [worker, str(rank), "2", str(port)])
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                parts = dict(kv.split("=") for kv in line.split()[1:])
+                results[int(parts["rank"])] = (
+                    float(parts["loss"]), float(parts["checksum"])
+                )
+    assert set(results) == {0, 1}, f"missing ranks in outputs: {outs}"
+    # both ranks see the same global reduction
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-7)
+
+    # golden: the same deterministic step on THIS process's 8-device mesh
+    import jax
+    import jax.numpy as jnp
+
+    from crosstalk_tpu.config import ModelConfig, OptimConfig
+    from crosstalk_tpu.models import build_model, init_model
+    from crosstalk_tpu.parallel.mesh import data_mesh
+    from crosstalk_tpu.train.steps import (
+        batch_sharding,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+        replicate_state,
+    )
+
+    cfg = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=3,
+                      compute_dtype="f32")
+    model = build_model(cfg, axis_name="data")
+    variables = init_model(model, jax.random.key(0), image_size=32)
+    tx = make_optimizer(OptimConfig())
+    mesh = data_mesh(8)
+    state = replicate_state(init_train_state(model, variables, tx), mesh)
+    step = make_train_step(model, tx, mesh=mesh, augment=False)
+
+    rng = np.random.default_rng(7)
+    inputs = rng.random((16, 32, 32, 2)).astype(np.float32)
+    labels = rng.random((16, 1)).astype(np.float32)
+    sharding = batch_sharding(mesh)
+    state, loss = step(
+        state, jax.device_put(inputs, sharding), jax.device_put(labels, sharding),
+        np.float32(1e-3), jax.random.key(1),
+    )
+    checksum = sum(
+        float(jnp.sum(jnp.abs(leaf)))
+        for leaf in jax.tree_util.tree_leaves(state.params)
+    )
+    np.testing.assert_allclose(results[0][0], float(loss), rtol=1e-6)
+    np.testing.assert_allclose(results[0][1], checksum, rtol=1e-6)
+
+
+def test_train_cli_two_process(tmp_path):
+    """End-to-end: the train CLI run as a 2-process cluster. Rank 0 writes
+    the full artifact set; rank 1 writes nothing."""
+    from tests.conftest import make_synthetic_dataset
+
+    mixed_dir, source_dir = make_synthetic_dataset(str(tmp_path), n=16,
+                                                   size=64, seed=11)
+    out0 = tmp_path / "rank0"
+    out1 = tmp_path / "rank1"
+    out0.mkdir()
+    out1.mkdir()
+    port = _free_port()
+
+    def env_for(rank):
+        env = _worker_env()
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_PLATFORMS"] = "cpu"
+        return env
+
+    def args_for(rank):
+        return [
+            "-m", "crosstalk_tpu.cli.train",
+            "-m", mixed_dir, "-s", source_dir, "-b", "8", "-l", "1e-3",
+            "-n", "1", "-j", "2", "-o", "single", "-r", "aggressive_plateau",
+            "--compute_dtype", "f32", "--seed", "5",
+            "--output_base", str(out0 if rank == 0 else out1),
+            "--multihost", "--coordinator_address", f"localhost:{port}",
+            "--num_processes", "2", "--process_id", str(rank),
+        ]
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, *args_for(rank)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env_for(rank), cwd=REPO,
+        )
+        for rank in (0, 1)
+    ]
+    for rank, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        if rank == 0:
+            assert "2 processes" in out
+
+    run_dirs = list(out0.glob("training_run_*"))
+    assert len(run_dirs) == 1, "rank 0 must create exactly one run dir"
+    run_dir = run_dirs[0]
+    for artifact in ("params.txt", "model_architecture.txt",
+                     "best_model_plateau.pth"):
+        assert (run_dir / artifact).exists(), f"missing {artifact}"
+    assert list(run_dir.glob("training_log_*.csv"))
+    assert list(run_dir.glob("crosstalk_regression_model_trained_*.pth"))
+    assert list(out1.iterdir()) == [], "rank 1 must write no artifacts"
