@@ -1,0 +1,51 @@
+"""Python client for the crosstalk inference server (serve/server.py).
+
+Stdlib-only (urllib + numpy): the same wire format the server speaks —
+npz request bodies, JSON responses. Intended both as the convenient
+programmatic surface and as executable documentation of the protocol.
+
+    from crosstalk_tpu.serve.client import CrosstalkClient
+    client = CrosstalkClient("http://127.0.0.1:8000")
+    alphas = client.predict(mixed, source)      # (n, H, W) arrays -> (n,)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import urllib.request
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class CrosstalkClient:
+    def __init__(self, url: str, timeout: float = 120.0):
+        self.url = url.rstrip("/")
+        self.timeout = timeout
+
+    def _get_json(self, path: str) -> Dict:
+        with urllib.request.urlopen(self.url + path, timeout=self.timeout) as r:
+            return json.load(r)
+
+    def health(self) -> Dict:
+        return self._get_json("/healthz")
+
+    def stats(self) -> Dict:
+        return self._get_json("/stats")
+
+    def predict(
+        self, mixed: np.ndarray, source: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """Predict alphas. Either ``mixed`` + ``source`` of shape (n, H, W)
+        (or a single (H, W) tile each), or ``mixed`` alone already stacked
+        as (n, H, W, 2). Returns (n,) float32."""
+        buf = io.BytesIO()
+        if source is None:
+            np.savez(buf, tiles=np.asarray(mixed))
+        else:
+            np.savez(buf, mixed=np.asarray(mixed), source=np.asarray(source))
+        req = urllib.request.Request(self.url + "/predict", data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            out = json.load(r)
+        return np.asarray(out["alpha"], np.float32)

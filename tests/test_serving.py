@@ -203,6 +203,29 @@ def test_http_predict_roundtrip(running_server):
     np.testing.assert_allclose(out3["alpha"], golden[:1], rtol=1e-5, atol=1e-5)
 
 
+def test_client_roundtrip(running_server):
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.serve.client import CrosstalkClient
+
+    url, model, variables = running_server
+    client = CrosstalkClient(url)
+    assert client.health()["status"] == "ok"
+
+    rng = np.random.default_rng(6)
+    mixed = rng.random((2, 32, 32), np.float64)
+    source = rng.random((2, 32, 32), np.float64)
+    got = client.predict(mixed, source)
+    raw = np.stack([mixed, source], axis=-1).astype(np.float32)
+    golden = np.asarray(
+        model.apply(variables, normalize_batch_nhwc(raw), train=False)
+    )[:, 0]
+    np.testing.assert_allclose(got, golden, rtol=1e-5, atol=1e-5)
+    # pre-stacked form
+    np.testing.assert_allclose(client.predict(raw), golden,
+                               rtol=1e-5, atol=1e-5)
+    assert client.stats()["requests"] >= 2
+
+
 def test_http_health_stats_and_errors(running_server):
     url, _, _ = running_server
     with urllib.request.urlopen(url + "/healthz", timeout=30) as resp:
