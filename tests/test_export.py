@@ -1,0 +1,115 @@
+"""AOT StableHLO export (io/export.py + tools/export_model.py).
+
+Round-trip contract: export -> serialize -> file -> load -> call must
+reproduce the live model's predictions, with no model code at load time.
+"""
+
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from crosstalk_tpu.config import ModelConfig
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from crosstalk_tpu.models import build_model, init_model
+
+    cfg = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=3,
+                      compute_dtype="f32")
+    model = build_model(cfg)
+    variables = init_model(model, jax.random.key(2), image_size=32, batch=2)
+    return cfg, model, variables
+
+
+def test_export_roundtrip_matches_live_model(tmp_path, tiny_model):
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.io.export import (
+        export_serving_model,
+        load_exported,
+        save_exported,
+    )
+
+    cfg, model, variables = tiny_model
+    blob = export_serving_model(variables, cfg, batch_size=4, image_size=32,
+                                fast=False, platforms=["cpu"])
+    path = str(tmp_path / "m.ctkx")
+    save_exported(path, blob, {"model": "single", "batch_size": 4})
+
+    fn, meta = load_exported(path)
+    assert meta["batch_size"] == 4
+    raw = np.random.default_rng(1).random((4, 32, 32, 2), np.float32) * 3.0
+    golden = np.asarray(
+        model.apply(variables, normalize_batch_nhwc(raw), train=False)
+    )[:, 0]
+    np.testing.assert_allclose(fn(raw), golden, rtol=1e-6, atol=1e-6)
+
+
+def test_export_bad_file_rejected(tmp_path):
+    from crosstalk_tpu.io.export import read_exported
+
+    bad = tmp_path / "bad.ctkx"
+    bad.write_bytes(b"not an export at all")
+    with pytest.raises(ValueError, match="not a crosstalk export"):
+        read_exported(str(bad))
+
+
+def test_export_multiplatform_lowering(tiny_model):
+    """tpu+cpu dual lowering works WITHOUT a TPU attached (cross-platform
+    export is lowering-only), and the cpu lowering stays callable."""
+    from jax import export as jexport
+
+    from crosstalk_tpu.io.export import export_serving_model
+
+    cfg, model, variables = tiny_model
+    blob = export_serving_model(variables, cfg, batch_size=2, image_size=32,
+                                fast=False, platforms=["tpu", "cpu"])
+    exported = jexport.deserialize(blob)
+    assert set(exported.platforms) == {"tpu", "cpu"}
+    out = exported.call(np.zeros((2, 32, 32, 2), np.float32))
+    assert np.asarray(out).shape == (2,)
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """tools/export_model.py on a real torch .pth; load with the library."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_ref import TorchSingle, burn_in_batch_stats
+
+    torch.manual_seed(4)
+    tmodel = TorchSingle(image_size=64)
+    burn_in_batch_stats(tmodel, 64, steps=2)
+    ckpt = str(tmp_path / "model.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    out = str(tmp_path / "model.ctkx")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
+         "-p", ckpt, "-o", "single", "--out", out,
+         "--batch_size", "4", "--image_size", "64",
+         "--platforms", "cpu", "--parity"],
+        capture_output=True, text=True, cwd=REPO, timeout=420,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert os.path.exists(out)
+
+    from crosstalk_tpu.io.export import load_exported
+
+    fn, meta = load_exported(out)
+    assert meta["model"] == "single" and meta["image_size"] == 64
+
+    rng = np.random.default_rng(3)
+    raw = rng.random((4, 64, 64, 2), np.float32)
+    lo = raw.min(axis=(1, 2), keepdims=True)
+    hi = raw.max(axis=(1, 2), keepdims=True)
+    with torch.no_grad():
+        golden = tmodel(
+            torch.from_numpy(((raw - lo) / (hi - lo)).transpose(0, 3, 1, 2))
+        ).numpy().ravel()
+    np.testing.assert_allclose(fn(raw), golden, rtol=1e-4, atol=1e-4)

@@ -156,6 +156,22 @@ def test_predictor_fast_path_close_to_module(tiny_model):
     np.testing.assert_allclose(predict(raw), golden, atol=2e-2)  # bf16 path
 
 
+def test_predictor_mesh_sharded_matches_single(tiny_model):
+    from crosstalk_tpu.parallel.mesh import data_mesh
+    from crosstalk_tpu.serve.predictor import make_predictor
+
+    cfg, model, variables = tiny_model
+    single = make_predictor(variables, cfg, batch_size=8, image_size=32,
+                            fast=False)
+    sharded = make_predictor(variables, cfg, batch_size=8, image_size=32,
+                             fast=False, mesh=data_mesh(8))
+    raw = np.random.default_rng(9).random((8, 32, 32, 2), np.float32)
+    np.testing.assert_allclose(sharded(raw), single(raw), rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError):  # batch must divide the mesh
+        make_predictor(variables, cfg, batch_size=6, image_size=32,
+                       fast=False, mesh=data_mesh(8), warmup=False)
+
+
 def _post_npz(url, **arrays):
     buf = io.BytesIO()
     np.savez(buf, **arrays)

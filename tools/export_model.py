@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Export a .pth checkpoint as a self-contained StableHLO serving artifact.
+
+    python tools/export_model.py -p model.pth [-o single] [--out model.ctkx]
+    [--batch_size 256] [--platforms tpu cpu] [--parity]
+
+The artifact (io/export.py format) embeds weights + normalization at ONE
+static batch shape and loads with jax alone:
+
+    from crosstalk_tpu.io.export import load_exported
+    fn, meta = load_exported("model.ctkx")
+    alphas = fn(tiles)          # (batch, 256, 256, 2) float32 -> (batch,)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-p", "--model_path", required=True,
+                    help=".pth checkpoint to export")
+    ap.add_argument("-o", "--model_options", default="single",
+                    choices=["single", "double"])
+    ap.add_argument("--out", default=None,
+                    help="Output path (default: <model_path>.ctkx)")
+    ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--platforms", nargs="+", default=["tpu", "cpu"],
+                    help="Target platforms to lower for")
+    ap.add_argument("--parity", action="store_true",
+                    help="Export the f32 parity forward instead of the "
+                         "bf16 serving path")
+    args = ap.parse_args(argv)
+
+    from crosstalk_tpu.config import ModelConfig
+    from crosstalk_tpu.io.export import export_serving_model, save_exported
+    from crosstalk_tpu.io.torch_convert import load_pth
+
+    variables = load_pth(args.model_path, args.model_options)
+    cfg = ModelConfig(variant=args.model_options,
+                      compute_dtype="f32" if args.parity else "bf16")
+    print(f"Lowering for {args.platforms} "
+          f"(batch {args.batch_size}, {args.image_size}px, "
+          f"{'f32 parity' if args.parity else 'bf16 serving'})...")
+    blob = export_serving_model(
+        variables, cfg, args.batch_size, image_size=args.image_size,
+        fast=not args.parity, platforms=args.platforms,
+    )
+    out = args.out or args.model_path + ".ctkx"
+    save_exported(out, blob, {
+        "model": args.model_options,
+        "checkpoint": os.path.basename(args.model_path),
+        "batch_size": args.batch_size,
+        "image_size": args.image_size,
+        "platforms": args.platforms,
+        "path": "f32-parity" if args.parity else "bf16-serving",
+    })
+    print(f"Wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
