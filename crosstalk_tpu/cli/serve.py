@@ -28,8 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="Serve a crosstalk regression checkpoint over HTTP."
     )
-    parser.add_argument("-p", "--model_path", type=str, required=True,
+    parser.add_argument("-p", "--model_path", type=str, default=None,
                         help="Path to the .pth checkpoint to serve")
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="Serve a .ctkx AOT export (tools/export_model.py)"
+                             " instead of a checkpoint; its baked batch size/"
+                             "image size/model override the flags")
     parser.add_argument("-o", "--model_options", type=str, default="single",
                         choices=["single", "double"],
                         help="Use single- or double-branch model")
@@ -63,13 +67,14 @@ def main(argv=None) -> int:
 
     import jax
 
-    from crosstalk_tpu.config import ModelConfig
-    from crosstalk_tpu.io.torch_convert import load_pth
-    from crosstalk_tpu.serve.predictor import make_predictor
     from crosstalk_tpu.serve.server import CrosstalkServer
     from crosstalk_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if bool(args.model_path) == bool(args.artifact):
+        print("Error: pass exactly one of -p/--model_path or --artifact.")
+        return 1
 
     n_dev = args.num_devices or 1
     if n_dev > len(jax.devices()):
@@ -77,48 +82,81 @@ def main(argv=None) -> int:
               f"{len(jax.devices())} device(s) are visible.")
         return 1
 
-    print("--- Loading model weights ---")
-    try:
-        variables = load_pth(args.model_path, args.model_options)
-    except (FileNotFoundError, KeyError) as e:
-        print(f"Error loading model from {args.model_path}: {e}")
-        return 1
-
-    model_cfg = ModelConfig(
-        variant=args.model_options,
-        compute_dtype="f32" if args.parity else "bf16",
-    )
-
-    mesh = None
-    if n_dev > 1:
-        from crosstalk_tpu.parallel.mesh import data_mesh
-
-        mesh = data_mesh(n_dev)
-
     device = jax.devices()[0]
-    print(f"Using device: {device.platform}:{device.device_kind} x{n_dev}")
-    print(f"Compiling serving program (batch {args.batch_size}, "
-          f"{'f32 parity' if args.parity else 'bf16 serving'} path)...")
-    predict = make_predictor(
-        variables, model_cfg, args.batch_size,
-        image_size=args.image_size, fast=not args.parity, mesh=mesh,
-    )
+    if args.artifact:
+        # Serve a pre-lowered AOT artifact: batch/image size are baked in.
+        from crosstalk_tpu.io.export import load_exported
+
+        print("--- Loading AOT artifact ---")
+        try:
+            fn, meta = load_exported(args.artifact)
+        except (FileNotFoundError, ValueError) as e:
+            print(f"Error loading artifact {args.artifact}: {e}")
+            return 1
+        if n_dev > 1:
+            print("Error: --num_devices > 1 requires a checkpoint "
+                  "(-p); AOT artifacts are lowered single-device.")
+            return 1
+        batch_size = int(meta["batch_size"])
+        image_size = int(meta.get("image_size", args.image_size))
+        predict = fn
+        import numpy as np
+
+        predict(np.zeros((batch_size, image_size, image_size, 2),
+                         np.float32))  # compile before the first request
+        model_info = {"artifact": args.artifact, **meta, "devices": 1}
+        print(f"Using device: {device.platform}:{device.device_kind} x1")
+        print(f"Serving artifact (batch {batch_size}, {image_size}px, "
+              f"{meta.get('path', '?')})")
+    else:
+        from crosstalk_tpu.config import ModelConfig
+        from crosstalk_tpu.io.torch_convert import load_pth
+        from crosstalk_tpu.serve.predictor import make_predictor
+
+        print("--- Loading model weights ---")
+        try:
+            variables = load_pth(args.model_path, args.model_options)
+        except (FileNotFoundError, KeyError) as e:
+            print(f"Error loading model from {args.model_path}: {e}")
+            return 1
+
+        model_cfg = ModelConfig(
+            variant=args.model_options,
+            compute_dtype="f32" if args.parity else "bf16",
+        )
+
+        mesh = None
+        if n_dev > 1:
+            from crosstalk_tpu.parallel.mesh import data_mesh
+
+            mesh = data_mesh(n_dev)
+
+        batch_size = args.batch_size
+        image_size = args.image_size
+        print(f"Using device: {device.platform}:{device.device_kind} x{n_dev}")
+        print(f"Compiling serving program (batch {batch_size}, "
+              f"{'f32 parity' if args.parity else 'bf16 serving'} path)...")
+        predict = make_predictor(
+            variables, model_cfg, batch_size,
+            image_size=image_size, fast=not args.parity, mesh=mesh,
+        )
+        model_info = {
+            "model": args.model_options,
+            "checkpoint": args.model_path,
+            "image_size": image_size,
+            "path": "f32-parity" if args.parity else "bf16-serving",
+            "batch_size": batch_size,
+            "devices": n_dev,
+        }
 
     server = CrosstalkServer(
         predict,
-        batch_size=args.batch_size,
-        image_size=args.image_size,
+        batch_size=batch_size,
+        image_size=image_size,
         host=args.host,
         port=args.port,
         max_delay_ms=args.max_delay_ms,
-        model_info={
-            "model": args.model_options,
-            "checkpoint": args.model_path,
-            "image_size": args.image_size,
-            "path": "f32-parity" if args.parity else "bf16-serving",
-            "batch_size": args.batch_size,
-            "devices": n_dev,
-        },
+        model_info=model_info,
         request_timeout=args.request_timeout,
         verbose=args.verbose,
     )

@@ -76,6 +76,75 @@ def test_export_multiplatform_lowering(tiny_model):
     assert np.asarray(out).shape == (2,)
 
 
+def test_export_double_model_roundtrip(tmp_path):
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.io.export import (
+        export_serving_model,
+        load_exported,
+        save_exported,
+    )
+    from crosstalk_tpu.models import build_model, init_model
+
+    cfg = ModelConfig(variant="double", initial_filters_per_branch=4,
+                      compute_dtype="f32")
+    model = build_model(cfg)
+    variables = init_model(model, jax.random.key(5), image_size=32, batch=2)
+    blob = export_serving_model(variables, cfg, batch_size=2, image_size=32,
+                                fast=False, platforms=["cpu"])
+    path = str(tmp_path / "d.ctkx")
+    save_exported(path, blob, {"model": "double", "batch_size": 2})
+    fn, _ = load_exported(path)
+    raw = np.random.default_rng(6).random((2, 32, 32, 2), np.float32)
+    golden = np.asarray(
+        model.apply(variables, normalize_batch_nhwc(raw), train=False)
+    )[:, 0]
+    np.testing.assert_allclose(fn(raw), golden, rtol=1e-6, atol=1e-6)
+    assert np.all(fn(raw) >= 0) and np.all(fn(raw) <= 0.5)  # sigmoid*0.5 head
+
+
+def test_artifact_backed_http_server(tmp_path, tiny_model):
+    """The serve stack runs an AOT artifact as its predictor: the complete
+    deployment loop (export -> file -> server -> HTTP) with no model code."""
+    import io
+    import json
+    import urllib.request
+
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.io.export import (
+        export_serving_model,
+        load_exported,
+        save_exported,
+    )
+    from crosstalk_tpu.serve.server import CrosstalkServer
+
+    cfg, model, variables = tiny_model
+    blob = export_serving_model(variables, cfg, batch_size=4, image_size=32,
+                                fast=False, platforms=["cpu"])
+    path = str(tmp_path / "m.ctkx")
+    save_exported(path, blob, {"model": "single", "batch_size": 4})
+    fn, meta = load_exported(path)
+
+    server = CrosstalkServer(fn, batch_size=4, image_size=32, port=0,
+                             max_delay_ms=2.0, model_info=meta)
+    server.start_background()
+    try:
+        host, port = server.address
+        raw = np.random.default_rng(7).random((3, 32, 32, 2), np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, tiles=raw)
+        req = urllib.request.Request(
+            f"http://{host}:{port}/predict", data=buf.getvalue()
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = json.load(resp)
+        golden = np.asarray(
+            model.apply(variables, normalize_batch_nhwc(raw), train=False)
+        )[:, 0]
+        np.testing.assert_allclose(out["alpha"], golden, rtol=1e-5, atol=1e-5)
+    finally:
+        server.shutdown()
+
+
 def test_export_cli_roundtrip(tmp_path):
     """tools/export_model.py on a real torch .pth; load with the library."""
     torch = pytest.importorskip("torch")
