@@ -64,3 +64,34 @@ def test_scale_bench_smoke():
     )
     assert out.returncode == 0, out.stderr[-800:]
     assert "tiles/s end-to-end" in out.stdout
+
+
+def test_sweep_runner_end_to_end(tmp_path):
+    """tools/sweep.py runs a 2-combination grid and the analyzer
+    consolidates both runs."""
+    import csv
+
+    from tools.make_dataset import main as make_dataset
+    from tools.sweep import main as sweep_main
+
+    data = tmp_path / "data"
+    rc = make_dataset([str(data), "-n", "16", "--size", "64"])
+    assert rc in (0, None)
+    out = tmp_path / "sweep"
+    out.mkdir()
+    rc = sweep_main([
+        "-m", str(data / "Mixed"), "-s", str(data / "Source"),
+        "--batch_sizes", "4", "8", "--learning_rates", "1e-3",
+        "-n", "1", "-j", "2", "-o", "single", "-r", "aggressive_plateau",
+        "--compute_dtype", "f32", "--output_base", str(out), "--analyse",
+    ])
+    assert rc == 0
+    run_dirs = sorted(out.glob("training_run_*"))
+    assert len(run_dirs) == 2
+    assert {d.name.split("_B")[1].split("_LR")[0] for d in run_dirs} == {"4", "8"}
+    results = out / "training_analysis_results.csv"
+    assert results.exists()
+    with open(results) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    assert {r["batch_size"] for r in rows} == {"4", "8"}
