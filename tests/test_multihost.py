@@ -115,6 +115,54 @@ def test_two_process_step_matches_single_process():
     np.testing.assert_allclose(results[0][1], checksum, rtol=1e-6)
 
 
+def test_two_process_eval_matches_single_process(tmp_path):
+    """Mesh-sharded evaluation across 2 processes produces the identical
+    row list (predictions + metrics) as single-process evaluation."""
+    from tests.conftest import make_synthetic_dataset
+
+    make_synthetic_dataset(str(tmp_path), n=10, size=64, seed=13)
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "multihost_eval_worker.py")
+    outs = _launch_pair(
+        lambda rank: [worker, str(rank), "2", str(port), str(tmp_path)]
+    )
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                parts = dict(kv.split("=") for kv in line.split()[1:])
+                results[int(parts["rank"])] = [
+                    float(parts[k]) for k in ("n", "loss", "d0", "d1", "d2")
+                ]
+    assert set(results) == {0, 1}, f"missing ranks in outputs: {outs}"
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-7)
+
+    # golden: single-process eval (padded tail included: 10 rows, batch 8)
+    import jax
+
+    from crosstalk_tpu.config import ModelConfig
+    from crosstalk_tpu.data.index import PairIndex
+    from crosstalk_tpu.data.pipeline import TileStore
+    from crosstalk_tpu.eval.engine import evaluate
+    from crosstalk_tpu.models import build_model, init_model
+
+    cfg = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=3,
+                      compute_dtype="f32")
+    model = build_model(cfg)
+    variables = init_model(model, jax.random.key(3), image_size=64)
+    index = PairIndex(os.path.join(str(tmp_path), "Mixed"),
+                      os.path.join(str(tmp_path), "Source"))
+    rows, loss = evaluate(model, variables, TileStore(index.samples, jobs=1),
+                          batch_size=8, with_metrics=True)
+    digest = np.array(
+        [[r["Actual_Label"], r["Predicted_Label"], r["Pearsons Correlation"]]
+         for r in rows], np.float64,
+    ).sum(axis=0)
+    np.testing.assert_allclose(
+        results[0], [len(rows), loss, *digest], rtol=1e-5
+    )
+
+
 def test_train_cli_two_process(tmp_path):
     """End-to-end: the train CLI run as a 2-process cluster. Rank 0 writes
     the full artifact set; rank 1 writes nothing."""
