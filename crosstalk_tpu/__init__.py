@@ -17,9 +17,13 @@ Design (TPU-first, not a port):
     histogram correlation / NMI / Pearson) as batched JAX ops on device
     (reference: test-cross-talk-model.py:25-121 — per-sample CPU loops).
   * Scaling is a JAX `Mesh` + `shard_map` data-parallel layer with psum
-    gradient/BN-stat reduction over ICI (reference: single device only).
+    gradient/BN-stat reduction over ICI, extended to multi-host pods via
+    jax.distributed (reference: single device only).
   * A .pth <-> Flax weight converter provides checkpoint interop and the
     eval-mode numeric-parity harness.
+  * Serving: an online HTTP server with dynamic request batching (serve/)
+    and AOT StableHLO export for model-code-free deployment (io/export.py)
+    — the reference is offline-only.
 
 The public CLI surface (train_model.py / test-cross-talk-model.py /
 analyse_training_results.py flags and on-disk artifact contract) is preserved.

@@ -133,6 +133,10 @@ def main(argv=None) -> int:
 
         batch_size = args.batch_size
         image_size = args.image_size
+        if mesh is not None and batch_size % n_dev != 0:
+            print(f"Error: --batch_size {batch_size} must divide across "
+                  f"{n_dev} devices.")
+            return 1
         print(f"Using device: {device.platform}:{device.device_kind} x{n_dev}")
         print(f"Compiling serving program (batch {batch_size}, "
               f"{'f32 parity' if args.parity else 'bf16 serving'} path)...")

@@ -126,8 +126,21 @@ def main(argv=None) -> int:
     primary = jax.process_index() == 0
     if not primary:
         # rank 0 owns stdout + artifacts; other ranks run the identical
-        # compute silently (losses are mesh-global, so control flow agrees)
-        sys.stdout = open(os.devnull, "w")
+        # compute silently (losses are mesh-global, so control flow agrees).
+        # Error/Warning lines still surface on stderr — a rank failing
+        # silently would leave the cluster hanging with no diagnostic.
+        class _NonPrimaryStdout:
+            def __init__(self, rank):
+                self._rank = rank
+
+            def write(self, s):
+                if "Error" in s or "Warning" in s:
+                    sys.stderr.write(f"[rank {self._rank}] {s}")
+
+            def flush(self):
+                pass
+
+        sys.stdout = _NonPrimaryStdout(jax.process_index())
 
     devices = jax.devices()
     n_dev = args.num_devices or len(devices)

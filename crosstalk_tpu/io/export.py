@@ -38,12 +38,17 @@ from crosstalk_tpu.data.transforms import normalize_batch_nhwc
 _MAGIC = b"CTKX0001"
 
 
-def make_serving_fn(variables, model_cfg: ModelConfig, fast: bool = True):
-    """-> fn(raw (B,H,W,2) f32) -> (B,) f32 with the weights closed over."""
+def make_forward(model_cfg: ModelConfig, fast: bool = True,
+                 use_pallas: bool = False):
+    """-> fn(variables, raw (B,H,W,2) f32) -> (B,) f32: normalize + forward.
+
+    The single definition of serving semantics — both the online predictor
+    (serve/predictor.py) and the AOT export below build on it.
+    """
     if fast:
         from crosstalk_tpu.eval.fast_forward import make_fast_forward
 
-        forward = make_fast_forward(model_cfg, use_pallas=False)
+        forward = make_fast_forward(model_cfg, use_pallas=use_pallas)
     else:
         from crosstalk_tpu.models import build_model
 
@@ -52,10 +57,16 @@ def make_serving_fn(variables, model_cfg: ModelConfig, fast: bool = True):
         def forward(v, batch):
             return model.apply(v, batch, train=False)
 
-    def serve(raw):
+    def serve(variables, raw):
         return forward(variables, normalize_batch_nhwc(raw))[:, 0]
 
     return serve
+
+
+def make_serving_fn(variables, model_cfg: ModelConfig, fast: bool = True):
+    """-> fn(raw (B,H,W,2) f32) -> (B,) f32 with the weights closed over."""
+    serve = make_forward(model_cfg, fast=fast)
+    return lambda raw: serve(variables, raw)
 
 
 def export_serving_model(
@@ -93,9 +104,20 @@ def read_exported(path: str) -> Tuple[bytes, Dict]:
         magic = f.read(8)
         if magic != _MAGIC:
             raise ValueError(f"{path}: not a crosstalk export (magic {magic!r})")
-        (n,) = struct.unpack("<I", f.read(4))
-        meta = json.loads(f.read(n).decode())
+        header = f.read(4)
+        if len(header) < 4:
+            raise ValueError(f"{path}: truncated export header")
+        (n,) = struct.unpack("<I", header)
+        payload = f.read(n)
+        if len(payload) < n:
+            raise ValueError(f"{path}: truncated export metadata")
+        try:
+            meta = json.loads(payload.decode())
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise ValueError(f"{path}: corrupt export metadata: {e}")
         blob = f.read()
+        if not blob:
+            raise ValueError(f"{path}: export contains no StableHLO module")
     return blob, meta
 
 

@@ -63,6 +63,10 @@ class DynamicBatcher:
         self._tile_shape = tuple(tile_shape)  # (H, W, C)
         self._max_delay = max_delay_ms / 1000.0
         self._queue: "queue.Queue" = queue.Queue()
+        # serializes the closed-check-then-enqueue in submit() against
+        # close()'s set-closed-then-sentinel: without it an item could land
+        # AFTER the shutdown sentinel and its Future would never resolve
+        self._submit_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._stats = {
             "requests": 0,
@@ -90,13 +94,14 @@ class DynamicBatcher:
             )
         if tiles.shape[0] == 0:
             raise ValueError("empty request")
-        if self._closed:
-            raise RuntimeError("batcher is closed")
         item = _Pending(tiles)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._queue.put(item)
         with self._stats_lock:
             self._stats["requests"] += 1
             self._stats["tiles"] += tiles.shape[0]
-        self._queue.put(item)
         return item.future
 
     def stats(self) -> Dict:
@@ -112,10 +117,12 @@ class DynamicBatcher:
 
     def close(self) -> None:
         """Flush outstanding work and stop the dispatcher thread."""
-        if not self._closed:
+        with self._submit_lock:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(None)
-            self._thread.join()
+        self._thread.join()
 
     # ---- dispatcher thread ----------------------------------------------
 

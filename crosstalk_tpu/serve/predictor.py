@@ -18,7 +18,6 @@ import jax
 import numpy as np
 
 from crosstalk_tpu.config import ModelConfig
-from crosstalk_tpu.data.transforms import normalize_batch_nhwc
 
 
 def make_predictor(
@@ -38,24 +37,13 @@ def make_predictor(
     ``use_pallas`` defaults to True exactly when running single-device on a
     TPU backend (the Mosaic kernel has no GSPMD partitioning rule).
     """
+    from crosstalk_tpu.io.export import make_forward
+
     n_channels = 2
-    if fast:
-        from crosstalk_tpu.eval.fast_forward import make_fast_forward
-
-        if use_pallas is None:
-            platform = jax.devices()[0].platform
-            use_pallas = platform in ("tpu", "axon") and mesh is None
-        forward = make_fast_forward(model_cfg, use_pallas=use_pallas)
-    else:
-        from crosstalk_tpu.models import build_model
-
-        model = build_model(model_cfg)
-
-        def forward(variables, batch):
-            return model.apply(variables, batch, train=False)
-
-    def step(variables, raw):
-        return forward(variables, normalize_batch_nhwc(raw))[:, 0]
+    if use_pallas is None:
+        platform = jax.devices()[0].platform
+        use_pallas = (fast and platform in ("tpu", "axon") and mesh is None)
+    step = make_forward(model_cfg, fast=fast, use_pallas=use_pallas)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

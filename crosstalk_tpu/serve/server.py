@@ -78,6 +78,12 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if code >= 400:
+            # error paths may not have drained the request body; on a
+            # keep-alive (HTTP/1.1) connection the unread bytes would be
+            # parsed as the next request line — close instead
+            self.send_header("Connection", "close")
+            self.close_connection = True
         self.end_headers()
         self.wfile.write(body)
 

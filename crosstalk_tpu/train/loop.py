@@ -117,6 +117,25 @@ def train_model(
             if primary:
                 print(f"Resumed from epoch {start_epoch} "
                       f"(best val {best_val_loss:.6f})")
+        if jax.process_count() > 1:
+            # Checkpoints are written by rank 0 only; every rank loads them
+            # independently from run_dir. If the ranks don't see the same
+            # checkpoint (non-shared filesystem, partial copy), they restore
+            # different states and the collectives silently corrupt training
+            # or hang — fail loudly instead.
+            from jax.experimental import multihost_utils
+
+            local = np.array(
+                [start_epoch, global_step,
+                 1 if restored is not None else 0], np.int64,
+            )
+            agreed = np.asarray(multihost_utils.process_allgather(local))
+            if not (agreed == agreed[0]).all():
+                raise RuntimeError(
+                    "multi-host resume desync: per-rank (epoch, step, "
+                    f"restored) = {agreed.tolist()} — the --resume run "
+                    "directory must be on a filesystem shared by every host"
+                )
 
     log = artifacts.TrainingLog(
         run_dir, ts, naming_bs, optim_cfg.learning_rate,

@@ -52,12 +52,28 @@ def test_export_roundtrip_matches_live_model(tmp_path, tiny_model):
 
 
 def test_export_bad_file_rejected(tmp_path):
-    from crosstalk_tpu.io.export import read_exported
+    from crosstalk_tpu.io.export import _MAGIC, read_exported
 
     bad = tmp_path / "bad.ctkx"
     bad.write_bytes(b"not an export at all")
     with pytest.raises(ValueError, match="not a crosstalk export"):
         read_exported(str(bad))
+
+    # every truncation/corruption point raises ValueError, never struct/json
+    # errors (the serve CLI catches ValueError for its clean error message)
+    cases = [
+        (_MAGIC, "truncated export header"),                  # magic only
+        (_MAGIC + b"\x02", "truncated export header"),        # partial length
+        (_MAGIC + bytes(4), "corrupt export metadata"),       # empty meta
+        (_MAGIC + b"\x10\x00\x00\x00" + b"{}", "truncated export metadata"),
+        (_MAGIC + b"\x02\x00\x00\x00" + b"xx" + b"blob", "corrupt export metadata"),
+        (_MAGIC + b"\x02\x00\x00\x00" + b"{}", "no StableHLO module"),
+    ]
+    for i, (content, match) in enumerate(cases):
+        p = tmp_path / f"bad{i}.ctkx"
+        p.write_bytes(content)
+        with pytest.raises(ValueError, match=match):
+            read_exported(str(p))
 
 
 def test_export_multiplatform_lowering(tiny_model):

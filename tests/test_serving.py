@@ -271,6 +271,32 @@ def test_http_health_stats_and_errors(running_server):
     assert exc_info.value.code == 404
 
 
+def test_http_error_with_unread_body_closes_connection(running_server):
+    """A 404 on a POST whose body was never drained must close the
+    keep-alive connection — otherwise the unread npz bytes are parsed as
+    the next request line and every later request on the connection fails."""
+    import http.client
+
+    url, _, _ = running_server
+    host, port = url.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.request("POST", "/wrong-path", body=b"x" * 100_000)
+        resp = conn.getresponse()
+        assert resp.status == 404
+        assert resp.getheader("Connection", "").lower() == "close"
+        resp.read()
+        # a good request on a FRESH connection still works
+        conn2 = http.client.HTTPConnection(host, int(port), timeout=30)
+        try:
+            conn2.request("GET", "/healthz")
+            assert conn2.getresponse().status == 200
+        finally:
+            conn2.close()
+    finally:
+        conn.close()
+
+
 def test_serve_cli_subprocess(tmp_path):
     """Full CLI drive: load a real torch .pth (full-width single model at
     64px), serve it, query it over HTTP, compare against the torch twin."""

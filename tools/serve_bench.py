@@ -112,6 +112,10 @@ def main(argv=None) -> int:
     total = int(sum(counts))
     stats = server.batcher.stats()
     server.shutdown()
+    if len(lat) == 0:
+        print(json.dumps({"error": "no requests completed in the window; "
+                                   "raise --seconds or lower --batch_size"}))
+        return 1
     print(json.dumps({
         "tiles_per_sec": round(total / wall, 1),
         "requests": len(lat),
