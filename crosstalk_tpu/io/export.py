@@ -14,7 +14,12 @@ the full PyTorch model class at load time — test-cross-talk-model.py:
 hosts and lowered for multiple platforms at once (default: tpu + cpu).
 
 File format: 8-byte magic, u32 little-endian JSON length, JSON metadata,
-then the serialized StableHLO module.
+u64 little-endian weights length, an .npz of the flattened weight leaves,
+then the serialized StableHLO module. Weights travel as ARGUMENTS of the
+exported program, not baked constants: constant-laden modules compile
+pathologically slowly on some toolchains (this environment's remote
+compiler constant-folds them op-by-op), while argument weights are
+device_put once at load and the module stays small.
 
 The Pallas input-block kernel is deliberately NOT used in exported
 programs: a Mosaic custom call would pin the artifact to one TPU
@@ -35,7 +40,7 @@ import numpy as np
 from crosstalk_tpu.config import ModelConfig
 from crosstalk_tpu.data.transforms import normalize_batch_nhwc
 
-_MAGIC = b"CTKX0001"
+_MAGIC = b"CTKX0002"
 
 
 def make_forward(model_cfg: ModelConfig, fast: bool = True,
@@ -76,30 +81,48 @@ def export_serving_model(
     image_size: int = 256,
     fast: bool = True,
     platforms: Sequence[str] = ("tpu", "cpu"),
-) -> bytes:
-    """Serialize the serving forward for ``platforms`` (cross-lowering: no
-    TPU needs to be attached to export for one)."""
+) -> Tuple[bytes, bytes]:
+    """-> (stablehlo blob, weights npz bytes) for ``platforms``
+    (cross-lowering: no TPU needs to be attached to export for one).
+
+    The weight leaves are flattened in jax.tree deterministic order and
+    passed to the exported program as a tuple argument; the npz stores them
+    under keys ``w0..wN`` in that order."""
+    import io as _io
+
     from jax import export as jexport
 
-    serve = make_serving_fn(variables, model_cfg, fast=fast)
-    exported = jexport.export(jax.jit(serve), platforms=list(platforms))(
+    serve = make_forward(model_cfg, fast=fast)
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+
+    def serve_flat(leaf_tuple, raw):
+        return serve(jax.tree_util.tree_unflatten(treedef, list(leaf_tuple)), raw)
+
+    exported = jexport.export(jax.jit(serve_flat), platforms=list(platforms))(
+        tuple(jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype)
+              for l in leaves),
         jax.ShapeDtypeStruct((batch_size, image_size, image_size, 2),
-                             jnp.float32)
+                             jnp.float32),
     )
-    return exported.serialize()
+    buf = _io.BytesIO()
+    np.savez(buf, **{f"w{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    return exported.serialize(), buf.getvalue()
 
 
-def save_exported(path: str, blob: bytes, meta: Dict) -> None:
+def save_exported(path: str, blob: bytes, weights: bytes, meta: Dict) -> None:
     payload = json.dumps(meta).encode()
     with open(path, "wb") as f:
         f.write(_MAGIC)
         f.write(struct.pack("<I", len(payload)))
         f.write(payload)
+        f.write(struct.pack("<Q", len(weights)))
+        f.write(weights)
         f.write(blob)
 
 
-def read_exported(path: str) -> Tuple[bytes, Dict]:
-    """-> (stablehlo blob, metadata). Raises ValueError on a bad file."""
+def read_exported(path: str) -> Tuple[bytes, bytes, Dict]:
+    """-> (stablehlo blob, weights npz bytes, metadata).
+    Raises ValueError on a bad file."""
     with open(path, "rb") as f:
         magic = f.read(8)
         if magic != _MAGIC:
@@ -115,23 +138,40 @@ def read_exported(path: str) -> Tuple[bytes, Dict]:
             meta = json.loads(payload.decode())
         except (UnicodeDecodeError, json.JSONDecodeError) as e:
             raise ValueError(f"{path}: corrupt export metadata: {e}")
+        wheader = f.read(8)
+        if len(wheader) < 8:
+            raise ValueError(f"{path}: truncated weights header")
+        (wn,) = struct.unpack("<Q", wheader)
+        weights = f.read(wn)
+        if len(weights) < wn:
+            raise ValueError(f"{path}: truncated weights section")
         blob = f.read()
         if not blob:
             raise ValueError(f"{path}: export contains no StableHLO module")
-    return blob, meta
+    return blob, weights, meta
 
 
 def load_exported(path: str):
     """-> (fn(raw (B,H,W,2) np/jnp) -> (B,) f32 np, metadata dict).
 
     Requires only jax + numpy — no crosstalk model code, no checkpoint.
+    Weights are device_put once here; each call ships only the batch.
     """
+    import io as _io
+
     from jax import export as jexport
 
-    blob, meta = read_exported(path)
+    blob, weights, meta = read_exported(path)
     exported = jexport.deserialize(blob)
+    with np.load(_io.BytesIO(weights)) as npz:
+        try:
+            leaves = tuple(
+                jax.device_put(npz[f"w{i}"]) for i in range(len(npz.files))
+            )
+        except KeyError as e:
+            raise ValueError(f"{path}: corrupt weights section: {e}")
 
     def fn(raw) -> np.ndarray:
-        return np.asarray(exported.call(jnp.asarray(raw, jnp.float32)))
+        return np.asarray(exported.call(leaves, jnp.asarray(raw, jnp.float32)))
 
     return fn, meta

@@ -37,10 +37,11 @@ def test_export_roundtrip_matches_live_model(tmp_path, tiny_model):
     )
 
     cfg, model, variables = tiny_model
-    blob = export_serving_model(variables, cfg, batch_size=4, image_size=32,
-                                fast=False, platforms=["cpu"])
+    blob, weights = export_serving_model(variables, cfg, batch_size=4,
+                                         image_size=32, fast=False,
+                                         platforms=["cpu"])
     path = str(tmp_path / "m.ctkx")
-    save_exported(path, blob, {"model": "single", "batch_size": 4})
+    save_exported(path, blob, weights, {"model": "single", "batch_size": 4})
 
     fn, meta = load_exported(path)
     assert meta["batch_size"] == 4
@@ -66,8 +67,10 @@ def test_export_bad_file_rejected(tmp_path):
         (_MAGIC + b"\x02", "truncated export header"),        # partial length
         (_MAGIC + bytes(4), "corrupt export metadata"),       # empty meta
         (_MAGIC + b"\x10\x00\x00\x00" + b"{}", "truncated export metadata"),
-        (_MAGIC + b"\x02\x00\x00\x00" + b"xx" + b"blob", "corrupt export metadata"),
-        (_MAGIC + b"\x02\x00\x00\x00" + b"{}", "no StableHLO module"),
+        (_MAGIC + b"\x02\x00\x00\x00" + b"xx" + bytes(8), "corrupt export metadata"),
+        (_MAGIC + b"\x02\x00\x00\x00" + b"{}", "truncated weights header"),
+        (_MAGIC + b"\x02\x00\x00\x00" + b"{}" + b"\x10" + bytes(7), "truncated weights section"),
+        (_MAGIC + b"\x02\x00\x00\x00" + b"{}" + bytes(8), "no StableHLO module"),
     ]
     for i, (content, match) in enumerate(cases):
         p = tmp_path / f"bad{i}.ctkx"
@@ -84,11 +87,16 @@ def test_export_multiplatform_lowering(tiny_model):
     from crosstalk_tpu.io.export import export_serving_model
 
     cfg, model, variables = tiny_model
-    blob = export_serving_model(variables, cfg, batch_size=2, image_size=32,
-                                fast=False, platforms=["tpu", "cpu"])
+    blob, weights = export_serving_model(variables, cfg, batch_size=2,
+                                         image_size=32, fast=False,
+                                         platforms=["tpu", "cpu"])
     exported = jexport.deserialize(blob)
     assert set(exported.platforms) == {"tpu", "cpu"}
-    out = exported.call(np.zeros((2, 32, 32, 2), np.float32))
+    import io
+
+    with np.load(io.BytesIO(weights)) as npz:
+        leaves = tuple(npz[f"w{i}"] for i in range(len(npz.files)))
+    out = exported.call(leaves, np.zeros((2, 32, 32, 2), np.float32))
     assert np.asarray(out).shape == (2,)
 
 
@@ -105,10 +113,11 @@ def test_export_double_model_roundtrip(tmp_path):
                       compute_dtype="f32")
     model = build_model(cfg)
     variables = init_model(model, jax.random.key(5), image_size=32, batch=2)
-    blob = export_serving_model(variables, cfg, batch_size=2, image_size=32,
-                                fast=False, platforms=["cpu"])
+    blob, weights = export_serving_model(variables, cfg, batch_size=2,
+                                         image_size=32, fast=False,
+                                         platforms=["cpu"])
     path = str(tmp_path / "d.ctkx")
-    save_exported(path, blob, {"model": "double", "batch_size": 2})
+    save_exported(path, blob, weights, {"model": "double", "batch_size": 2})
     fn, _ = load_exported(path)
     raw = np.random.default_rng(6).random((2, 32, 32, 2), np.float32)
     golden = np.asarray(
@@ -134,10 +143,11 @@ def test_artifact_backed_http_server(tmp_path, tiny_model):
     from crosstalk_tpu.serve.server import CrosstalkServer
 
     cfg, model, variables = tiny_model
-    blob = export_serving_model(variables, cfg, batch_size=4, image_size=32,
-                                fast=False, platforms=["cpu"])
+    blob, weights = export_serving_model(variables, cfg, batch_size=4,
+                                         image_size=32, fast=False,
+                                         platforms=["cpu"])
     path = str(tmp_path / "m.ctkx")
-    save_exported(path, blob, {"model": "single", "batch_size": 4})
+    save_exported(path, blob, weights, {"model": "single", "batch_size": 4})
     fn, meta = load_exported(path)
 
     server = CrosstalkServer(fn, batch_size=4, image_size=32, port=0,

@@ -48,12 +48,12 @@ def main(argv=None) -> int:
     print(f"Lowering for {args.platforms} "
           f"(batch {args.batch_size}, {args.image_size}px, "
           f"{'f32 parity' if args.parity else 'bf16 serving'})...")
-    blob = export_serving_model(
+    blob, weights = export_serving_model(
         variables, cfg, args.batch_size, image_size=args.image_size,
         fast=not args.parity, platforms=args.platforms,
     )
     out = args.out or args.model_path + ".ctkx"
-    save_exported(out, blob, {
+    save_exported(out, blob, weights, {
         "model": args.model_options,
         "checkpoint": os.path.basename(args.model_path),
         "batch_size": args.batch_size,
