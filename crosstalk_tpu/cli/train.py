@@ -177,6 +177,37 @@ def main(argv=None) -> int:
             print("Resume: adopting the original run's hyperparameters: "
                   + ", ".join(adopted))
 
+        if jax.process_count() > 1:
+            # Every rank must see the SAME resume directory contents
+            # (params.txt + checkpoint files): on a non-shared filesystem
+            # the ranks would adopt different hyperparameters / restore
+            # different states — fail here with a clear message instead of
+            # the cryptic cross-process device_put assertion downstream.
+            import glob as _glob
+            import hashlib
+
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            ckpt_files = sorted(
+                os.path.basename(p)
+                for p in _glob.glob(os.path.join(args.resume,
+                                                 "checkpoints", "*"))
+            )
+            src = repr(sorted(original.items())) + repr(ckpt_files)
+            digest = int.from_bytes(
+                hashlib.sha256(src.encode()).digest()[:7], "little"
+            )
+            agreed = np.asarray(
+                multihost_utils.process_allgather(np.int64(digest))
+            )
+            if not (agreed == agreed[0]).all():
+                print("Error: multi-host resume desync — the ranks see "
+                      "different --resume directory contents "
+                      "(params.txt/checkpoints). The run directory must be "
+                      "on a filesystem shared by every host.")
+                return 1
+
     if not (abs(args.train_ratio + args.val_ratio) < 1.0):
         print("Warning: Sum of TRAIN_RATIO, VAL_RATIO, TEST_RATIO does not equal 1.0.")
 

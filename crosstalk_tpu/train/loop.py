@@ -103,6 +103,27 @@ def train_model(
 
     if resume:
         restored = checkpoint.load_checkpoint(run_dir, state)
+        if jax.process_count() > 1:
+            # Checkpoints are written by rank 0 only; every rank loads them
+            # independently from run_dir. If the ranks don't see the same
+            # checkpoint (non-shared filesystem, partial copy), they restore
+            # different states — fail with a clear message BEFORE the
+            # restored arrays hit collective device_put (whose own
+            # cross-process equality assertion is loud but cryptic).
+            from jax.experimental import multihost_utils
+
+            local = np.array(
+                [restored[1]["epoch"] if restored is not None else -1,
+                 restored[1]["global_step"] if restored is not None else -1],
+                np.int64,
+            )
+            agreed = np.asarray(multihost_utils.process_allgather(local))
+            if not (agreed == agreed[0]).all():
+                raise RuntimeError(
+                    "multi-host resume desync: per-rank (epoch, step) = "
+                    f"{agreed.tolist()} — the --resume run directory must "
+                    "be on a filesystem shared by every host"
+                )
         if restored is not None:
             state, meta = restored
             state = replicate_state(state, mesh)
@@ -117,25 +138,6 @@ def train_model(
             if primary:
                 print(f"Resumed from epoch {start_epoch} "
                       f"(best val {best_val_loss:.6f})")
-        if jax.process_count() > 1:
-            # Checkpoints are written by rank 0 only; every rank loads them
-            # independently from run_dir. If the ranks don't see the same
-            # checkpoint (non-shared filesystem, partial copy), they restore
-            # different states and the collectives silently corrupt training
-            # or hang — fail loudly instead.
-            from jax.experimental import multihost_utils
-
-            local = np.array(
-                [start_epoch, global_step,
-                 1 if restored is not None else 0], np.int64,
-            )
-            agreed = np.asarray(multihost_utils.process_allgather(local))
-            if not (agreed == agreed[0]).all():
-                raise RuntimeError(
-                    "multi-host resume desync: per-rank (epoch, step, "
-                    f"restored) = {agreed.tolist()} — the --resume run "
-                    "directory must be on a filesystem shared by every host"
-                )
 
     log = artifacts.TrainingLog(
         run_dir, ts, naming_bs, optim_cfg.learning_rate,

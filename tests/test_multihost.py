@@ -221,3 +221,43 @@ def test_train_cli_two_process(tmp_path):
     assert list(run_dir.glob("training_log_*.csv"))
     assert list(run_dir.glob("crosstalk_regression_model_trained_*.pth"))
     assert list(out1.iterdir()) == [], "rank 1 must write no artifacts"
+
+    # ---- resume-desync guard: rank 1 resumes from a dir with NO checkpoint
+    # (simulating a non-shared filesystem) -> both ranks must fail loudly
+    # instead of silently training from mismatched states
+    empty_dir = out1 / "training_run_fake"
+    empty_dir.mkdir()
+    port2 = _free_port()
+
+    def resume_args(rank):
+        return [
+            "-m", "crosstalk_tpu.cli.train",
+            "-m", mixed_dir, "-s", source_dir, "-n", "2",
+            "-j", "2", "-o", "single",
+            "--output_base", str(out0 if rank == 0 else out1),
+            "--resume", str(run_dir if rank == 0 else empty_dir),
+            "--multihost", "--coordinator_address", f"localhost:{port2}",
+            "--num_processes", "2", "--process_id", str(rank),
+        ]
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, *resume_args(rank)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env_for(rank), cwd=REPO,
+        )
+        for rank in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out))
+    assert all(rc != 0 for rc, _ in outs), (
+        f"desynced resume must fail on every rank: {outs}"
+    )
+    assert any("resume desync" in out for _, out in outs), outs
