@@ -32,36 +32,56 @@ def _worker_env():
     return env
 
 
-def _launch_pair(script_args, env=None, timeout=420):
-    """Run rank 0 and rank 1 subprocesses to completion -> list of stdout."""
-    env = env or _worker_env()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, *script_args(rank)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env, cwd=REPO,
-        )
-        for rank in (0, 1)
-    ]
-    outs = []
-    for rank, p in enumerate(procs):
-        try:
-            out, _ = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
-        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+# XLA's CPU Gloo transport has a hardcoded ~30s rendezvous timeout; under
+# full-suite CPU load a slow-starting rank can miss it. Retry the whole
+# pair (with a fresh coordinator port) on that specific signature.
+_GLOO_FLAKE = "Gloo context initialization failed"
+
+
+def _run_pair(make_args, env_for=None, timeout=420, retries=2):
+    """Run rank 0 + rank 1 to completion -> (returncodes, stdouts).
+
+    ``make_args(rank, port)`` builds each rank's argv (after the
+    interpreter); a fresh port is drawn per attempt."""
+    for attempt in range(retries + 1):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, *make_args(rank, port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=(env_for(rank) if env_for else _worker_env()), cwd=REPO,
+            )
+            for rank in (0, 1)
+        ]
+        rcs, outs = [], []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            rcs.append(p.returncode)
+            outs.append(out)
+        if any(_GLOO_FLAKE in o for o in outs) and attempt < retries:
+            continue
+        return rcs, outs
+    raise AssertionError("unreachable")
+
+
+def _launch_pair(make_args, env_for=None, timeout=420):
+    """_run_pair + assert both ranks succeeded -> list of stdout."""
+    rcs, outs = _run_pair(make_args, env_for=env_for, timeout=timeout)
+    for rank, (rc, out) in enumerate(zip(rcs, outs)):
+        assert rc == 0, f"rank {rank} failed:\n{out}"
     return outs
 
 
 def test_two_process_step_matches_single_process():
     """The cross-process train step produces the same loss and updated
     params as the identical step on this process's own 8-device mesh."""
-    port = _free_port()
     worker = os.path.join(REPO, "tests", "multihost_worker.py")
-    outs = _launch_pair(lambda rank: [worker, str(rank), "2", str(port)])
+    outs = _launch_pair(lambda rank, port: [worker, str(rank), "2", str(port)])
 
     results = {}
     for out in outs:
@@ -121,10 +141,9 @@ def test_two_process_eval_matches_single_process(tmp_path):
     from tests.conftest import make_synthetic_dataset
 
     make_synthetic_dataset(str(tmp_path), n=10, size=64, seed=13)
-    port = _free_port()
     worker = os.path.join(REPO, "tests", "multihost_eval_worker.py")
     outs = _launch_pair(
-        lambda rank: [worker, str(rank), "2", str(port), str(tmp_path)]
+        lambda rank, port: [worker, str(rank), "2", str(port), str(tmp_path)]
     )
     results = {}
     for out in outs:
@@ -174,7 +193,6 @@ def test_train_cli_two_process(tmp_path):
     out1 = tmp_path / "rank1"
     out0.mkdir()
     out1.mkdir()
-    port = _free_port()
 
     def env_for(rank):
         env = _worker_env()
@@ -182,7 +200,7 @@ def test_train_cli_two_process(tmp_path):
         env["JAX_PLATFORMS"] = "cpu"
         return env
 
-    def args_for(rank):
+    def args_for(rank, port):
         return [
             "-m", "crosstalk_tpu.cli.train",
             "-m", mixed_dir, "-s", source_dir, "-b", "8", "-l", "1e-3",
@@ -193,24 +211,8 @@ def test_train_cli_two_process(tmp_path):
             "--num_processes", "2", "--process_id", str(rank),
         ]
 
-    procs = [
-        subprocess.Popen(
-            [sys.executable, *args_for(rank)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env_for(rank), cwd=REPO,
-        )
-        for rank in (0, 1)
-    ]
-    for rank, p in enumerate(procs):
-        try:
-            out, _ = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
-        if rank == 0:
-            assert "2 processes" in out
+    outs = _launch_pair(args_for, env_for=env_for)
+    assert "2 processes" in outs[0]
 
     run_dirs = list(out0.glob("training_run_*"))
     assert len(run_dirs) == 1, "rank 0 must create exactly one run dir"
@@ -227,37 +229,20 @@ def test_train_cli_two_process(tmp_path):
     # instead of silently training from mismatched states
     empty_dir = out1 / "training_run_fake"
     empty_dir.mkdir()
-    port2 = _free_port()
 
-    def resume_args(rank):
+    def resume_args(rank, port):
         return [
             "-m", "crosstalk_tpu.cli.train",
             "-m", mixed_dir, "-s", source_dir, "-n", "2",
             "-j", "2", "-o", "single",
             "--output_base", str(out0 if rank == 0 else out1),
             "--resume", str(run_dir if rank == 0 else empty_dir),
-            "--multihost", "--coordinator_address", f"localhost:{port2}",
+            "--multihost", "--coordinator_address", f"localhost:{port}",
             "--num_processes", "2", "--process_id", str(rank),
         ]
 
-    procs = [
-        subprocess.Popen(
-            [sys.executable, *resume_args(rank)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env_for(rank), cwd=REPO,
-        )
-        for rank in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append((p.returncode, out))
-    assert all(rc != 0 for rc, _ in outs), (
-        f"desynced resume must fail on every rank: {outs}"
+    rcs, outs = _run_pair(resume_args, env_for=env_for)
+    assert all(rc != 0 for rc in rcs), (
+        f"desynced resume must fail on every rank: {list(zip(rcs, outs))}"
     )
-    assert any("resume desync" in out for _, out in outs), outs
+    assert any("resume desync" in out for out in outs), outs

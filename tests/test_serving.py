@@ -297,6 +297,25 @@ def test_http_error_with_unread_body_closes_connection(running_server):
         conn.close()
 
 
+def test_serve_cli_flag_validation(tmp_path, capsys):
+    from crosstalk_tpu.cli.serve import main as serve_main
+
+    # neither -p nor --artifact
+    assert serve_main([]) == 1
+    assert "exactly one of" in capsys.readouterr().out
+    # both
+    assert serve_main(["-p", "a.pth", "--artifact", "b.ctkx"]) == 1
+    assert "exactly one of" in capsys.readouterr().out
+    # missing checkpoint file
+    assert serve_main(["-p", str(tmp_path / "nope.pth")]) == 1
+    assert "Error loading model" in capsys.readouterr().out
+    # corrupt artifact
+    bad = tmp_path / "bad.ctkx"
+    bad.write_bytes(b"garbage")
+    assert serve_main(["--artifact", str(bad)]) == 1
+    assert "Error loading artifact" in capsys.readouterr().out
+
+
 def test_serve_cli_subprocess(tmp_path):
     """Full CLI drive: load a real torch .pth (full-width single model at
     64px), serve it, query it over HTTP, compare against the torch twin."""
