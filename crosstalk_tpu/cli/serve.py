@@ -32,8 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Path to the .pth checkpoint to serve")
     parser.add_argument("--artifact", type=str, default=None,
                         help="Serve a .ctkx AOT export (tools/export_model.py)"
-                             " instead of a checkpoint; its baked batch size/"
-                             "image size/model override the flags")
+                             " instead of a checkpoint. Its image size/model "
+                             "override the flags; dynamic-batch artifacts "
+                             "(the export default) serve at --batch_size, "
+                             "pinned ones dictate their own shape")
     parser.add_argument("-o", "--model_options", type=str, default="single",
                         choices=["single", "double"],
                         help="Use single- or double-branch model")
@@ -97,7 +99,10 @@ def main(argv=None) -> int:
             print("Error: --num_devices > 1 requires a checkpoint "
                   "(-p); AOT artifacts are lowered single-device.")
             return 1
-        batch_size = int(meta["batch_size"])
+        meta_bs = meta.get("batch_size", "dynamic")
+        # dynamic-batch artifacts serve at the --batch_size flag; a pinned
+        # artifact dictates its own shape
+        batch_size = args.batch_size if meta_bs == "dynamic" else int(meta_bs)
         image_size = int(meta.get("image_size", args.image_size))
         predict = fn
         import numpy as np

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import json
 import struct
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,13 +77,17 @@ def make_serving_fn(variables, model_cfg: ModelConfig, fast: bool = True):
 def export_serving_model(
     variables,
     model_cfg: ModelConfig,
-    batch_size: int,
+    batch_size: Optional[int] = None,
     image_size: int = 256,
     fast: bool = True,
     platforms: Sequence[str] = ("tpu", "cpu"),
 ) -> Tuple[bytes, bytes]:
     """-> (stablehlo blob, weights npz bytes) for ``platforms``
     (cross-lowering: no TPU needs to be attached to export for one).
+
+    ``batch_size=None`` (the default) exports with a SYMBOLIC batch
+    dimension — the artifact accepts any batch size, each distinct size
+    compiling once at the deployment site; an int pins one static shape.
 
     The weight leaves are flattened in jax.tree deterministic order and
     passed to the exported program as a tuple argument; the npz stores them
@@ -98,10 +102,14 @@ def export_serving_model(
     def serve_flat(leaf_tuple, raw):
         return serve(jax.tree_util.tree_unflatten(treedef, list(leaf_tuple)), raw)
 
+    if batch_size is None:
+        (batch_dim,) = jexport.symbolic_shape("b")
+    else:
+        batch_dim = batch_size
     exported = jexport.export(jax.jit(serve_flat), platforms=list(platforms))(
         tuple(jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype)
               for l in leaves),
-        jax.ShapeDtypeStruct((batch_size, image_size, image_size, 2),
+        jax.ShapeDtypeStruct((batch_dim, image_size, image_size, 2),
                              jnp.float32),
     )
     buf = _io.BytesIO()

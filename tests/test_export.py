@@ -79,6 +79,35 @@ def test_export_bad_file_rejected(tmp_path):
             read_exported(str(p))
 
 
+def test_export_dynamic_batch(tmp_path, tiny_model):
+    """batch_size=None (the default) exports a symbolic batch dimension:
+    one artifact serves any batch size, on both the flax and the fast
+    folded-BN serving paths."""
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.io.export import (
+        export_serving_model,
+        load_exported,
+        save_exported,
+    )
+
+    cfg, model, variables = tiny_model
+    for fast in (False, True):
+        blob, weights = export_serving_model(variables, cfg, image_size=32,
+                                             fast=fast, platforms=["cpu"])
+        path = str(tmp_path / f"dyn{int(fast)}.ctkx")
+        save_exported(path, blob, weights,
+                      {"model": "single", "batch_size": "dynamic"})
+        fn, meta = load_exported(path)
+        assert meta["batch_size"] == "dynamic"
+        for n in (1, 3, 8):
+            raw = np.random.default_rng(n).random((n, 32, 32, 2), np.float32)
+            golden = np.asarray(
+                model.apply(variables, normalize_batch_nhwc(raw), train=False)
+            )[:, 0]
+            tol = 2e-2 if fast else 1e-6  # bf16 vs f32 path
+            np.testing.assert_allclose(fn(raw), golden, rtol=tol, atol=tol)
+
+
 def test_export_multiplatform_lowering(tiny_model):
     """tpu+cpu dual lowering works WITHOUT a TPU attached (cross-platform
     export is lowering-only), and the cpu lowering stays callable."""

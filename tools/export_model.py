@@ -29,7 +29,9 @@ def main(argv=None) -> int:
                     choices=["single", "double"])
     ap.add_argument("--out", default=None,
                     help="Output path (default: <model_path>.ctkx)")
-    ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--batch_size", type=int, default=None,
+                    help="Pin one static batch shape (default: dynamic — "
+                         "the artifact accepts any batch size)")
     ap.add_argument("--image_size", type=int, default=256)
     ap.add_argument("--platforms", nargs="+", default=["tpu", "cpu"],
                     help="Target platforms to lower for")
@@ -46,7 +48,7 @@ def main(argv=None) -> int:
     cfg = ModelConfig(variant=args.model_options,
                       compute_dtype="f32" if args.parity else "bf16")
     print(f"Lowering for {args.platforms} "
-          f"(batch {args.batch_size}, {args.image_size}px, "
+          f"(batch {args.batch_size or 'dynamic'}, {args.image_size}px, "
           f"{'f32 parity' if args.parity else 'bf16 serving'})...")
     blob, weights = export_serving_model(
         variables, cfg, args.batch_size, image_size=args.image_size,
@@ -56,7 +58,7 @@ def main(argv=None) -> int:
     save_exported(out, blob, weights, {
         "model": args.model_options,
         "checkpoint": os.path.basename(args.model_path),
-        "batch_size": args.batch_size,
+        "batch_size": args.batch_size or "dynamic",
         "image_size": args.image_size,
         "platforms": args.platforms,
         "path": "f32-parity" if args.parity else "bf16-serving",
