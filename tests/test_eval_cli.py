@@ -114,6 +114,39 @@ def test_eval_cli_fast_path_on_cpu(cli_setup):
         assert abs(float(row["Predicted_Label"]) - by_id[int(row["Image_ID"])]) < 2e-2
 
 
+def test_eval_cli_fast_with_mesh(cli_setup):
+    """--fast combined with --num_devices: the Pallas kernel is gated off
+    under a sharded mesh and the GSPMD serving path must produce the same
+    rows as single-device."""
+    root, mixed_dir, source_dir, ckpt, tmodel = cli_setup
+    out_base = str(root / "out_fast_mesh")
+    rc = eval_main([
+        "-m", mixed_dir, "-s", source_dir, "-p", ckpt, "-j", "2", "-o", "single",
+        "--output_base", out_base, "--batch_size", "8", "--fast",
+        "--num_devices", "8",
+    ])
+    assert rc == 0
+    (csv_path,) = glob.glob(os.path.join(out_base, "eval_run_*",
+                                         "test_predictions_*.csv"))
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 10
+    from crosstalk_tpu.data.index import PairIndex
+    from crosstalk_tpu.data.pipeline import TileStore
+
+    index = PairIndex(mixed_dir, source_dir)
+    store = TileStore(index.samples, jobs=1)
+    tiles = np.asarray(store.tiles)
+    lo = tiles.min(axis=(1, 2), keepdims=True)
+    hi = tiles.max(axis=(1, 2), keepdims=True)
+    batch = (tiles - lo) / (hi - lo)
+    with torch.no_grad():
+        golden = tmodel(torch.from_numpy(batch.transpose(0, 3, 1, 2))).numpy().ravel()
+    by_id = {int(s.image_id): g for s, g in zip(index.samples, golden)}
+    for row in rows:  # bf16 serving budget, sharded == unsharded semantics
+        assert abs(float(row["Predicted_Label"]) - by_id[int(row["Image_ID"])]) < 2e-2
+
+
 def test_eval_cli_end_to_end_double(cli_setup):
     """BASELINE config #2 at CLI level: -o double runs the two-branch model
     through the full eval pipeline with prediction parity vs torch."""

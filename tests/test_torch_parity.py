@@ -203,3 +203,26 @@ def test_train_mode_gradient_parity_vs_torch():
         )
         compared += 1
     assert compared == len(tgrads) > 20
+
+
+@pytest.mark.parametrize("seed,filters,blocks,size", [
+    (21, 4, 2, 16), (22, 16, 4, 64), (23, 12, 3, 32),
+])
+def test_single_parity_config_sweep(seed, filters, blocks, size):
+    """Converter + forward parity holds across arbitrary (width, depth,
+    tile-size) configs, not just the pinned toy/instantiated ones — the
+    flatten-permutation and BN mapping must be config-independent."""
+    torch.manual_seed(seed)
+    tmodel = burn_in_batch_stats(
+        TorchSingle(initial_filters=filters, num_blocks=blocks,
+                    image_size=size), size)
+    variables = torch_to_flax(tmodel.state_dict(), "single")
+    cfg = ModelConfig(variant="single", initial_filters=filters,
+                      num_conv_blocks=blocks, compute_dtype="f32")
+    model = build_model(cfg)
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(3, size, size, 2)).astype(np.float32)
+    np.testing.assert_allclose(
+        _flax_eval(model, variables, x), _torch_eval(tmodel, x),
+        atol=2e-5, rtol=0,
+    )
