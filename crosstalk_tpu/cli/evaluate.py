@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "(note: a genuinely constant tile yields NaN "
                              "correlation metrics by reference semantics and "
                              "will trip this)")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="Capture a jax.profiler trace of the "
+                             "evaluation to DIR")
     return parser
 
 
@@ -88,7 +91,7 @@ def main(argv=None) -> int:
     from crosstalk_tpu.io import artifacts
     from crosstalk_tpu.io.torch_convert import load_pth
     from crosstalk_tpu.models import build_model, torch_style_repr
-    from crosstalk_tpu.utils.profiling import enable_debug_checks
+    from crosstalk_tpu.utils.profiling import enable_debug_checks, maybe_trace
 
     if args.debug_nans:
         enable_debug_checks()
@@ -153,12 +156,13 @@ def main(argv=None) -> int:
     mesh = data_mesh(n_dev) if n_dev > 1 else None
 
     print("\n--- Evaluating Model ---")
-    evaluate_and_save(
-        model, variables, store,
-        dataset_name="test", output_dir=output_dir, ts=ts,
-        batch_size=args.batch_size, with_metrics=True,
-        forward_fn=forward_fn, mesh=mesh,
-    )
+    with maybe_trace(args.profile):
+        evaluate_and_save(
+            model, variables, store,
+            dataset_name="test", output_dir=output_dir, ts=ts,
+            batch_size=args.batch_size, with_metrics=True,
+            forward_fn=forward_fn, mesh=mesh,
+        )
     return 0
 
 

@@ -226,3 +226,22 @@ def test_single_parity_config_sweep(seed, filters, blocks, size):
         _flax_eval(model, variables, x), _torch_eval(tmodel, x),
         atol=2e-5, rtol=0,
     )
+
+
+@pytest.mark.parametrize("seed,filters,size", [(31, 2, 32), (32, 8, 64)])
+def test_double_parity_config_sweep(seed, filters, size):
+    """Two-branch converter + forward parity across arbitrary
+    (branch-width, tile-size) configs."""
+    torch.manual_seed(seed)
+    tmodel = burn_in_batch_stats(
+        TorchDouble(filters_per_branch=filters, image_size=size), size)
+    variables = torch_to_flax(tmodel.state_dict(), "double")
+    cfg = ModelConfig(variant="double", initial_filters_per_branch=filters,
+                      compute_dtype="f32")
+    model = build_model(cfg)
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(3, size, size, 2)).astype(np.float32)
+    np.testing.assert_allclose(
+        _flax_eval(model, variables, x), _torch_eval(tmodel, x),
+        atol=2e-5, rtol=0,
+    )

@@ -440,3 +440,80 @@ def test_train_cli_small_batch_rounds_up_to_mesh(tmp_path):
         "--num_devices", "8",
     ])
     assert rc == 0
+
+
+def test_sigkill_mid_training_then_resume(tmp_path):
+    """Failure recovery proof: SIGKILL the training process mid-run (no
+    cleanup, no atexit), then --resume must continue from the last durable
+    checkpoint and finish with the complete artifact set and a gapless log.
+    The per-epoch checkpoint writes are atomic (tmp + os.replace), so a
+    kill at ANY instant leaves a loadable state."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from tests.conftest import make_synthetic_dataset
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mixed_dir, source_dir = make_synthetic_dataset(str(tmp_path), n=16,
+                                                   size=64, seed=21)
+    argv = [
+        sys.executable, "-m", "crosstalk_tpu.cli.train",
+        "-m", mixed_dir, "-s", source_dir, "-b", "8", "-l", "1e-3",
+        "-n", "6", "-j", "2", "-o", "single", "-r", "aggressive_plateau",
+        "--compute_dtype", "f32", "--output_base", str(tmp_path),
+        "--num_devices", "1",
+    ]
+    proc = subprocess.Popen(argv, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, cwd=repo)
+    # wait for a durable checkpoint at epoch >= 2, then kill -9
+    meta_path = None
+    deadline = time.monotonic() + 300
+    killed_at = None
+    while time.monotonic() < deadline:
+        if proc.poll() is not None:
+            raise AssertionError(
+                f"training exited before it could be killed:\n"
+                f"{proc.stdout.read()}"
+            )
+        if meta_path is None:
+            metas = glob.glob(os.path.join(
+                str(tmp_path), "training_run_*", "checkpoints",
+                "train_meta.json"))
+            meta_path = metas[0] if metas else None
+        if meta_path and os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    epoch = json.load(f)["epoch"]
+            except (json.JSONDecodeError, KeyError):
+                epoch = 0  # mid-replace read; retry
+            if epoch >= 2:
+                proc.send_signal(signal.SIGKILL)
+                killed_at = epoch
+                break
+        time.sleep(0.5)
+    assert killed_at is not None, "never saw an epoch-2 checkpoint"
+    proc.wait(timeout=60)
+    assert proc.returncode != 0  # SIGKILL, nothing graceful
+
+    (run_dir,) = glob.glob(os.path.join(str(tmp_path), "training_run_*"))
+    from crosstalk_tpu.cli.train import main as train_main
+
+    rc = train_main([
+        "-m", mixed_dir, "-s", source_dir, "-n", "6", "-j", "2",
+        "-o", "single", "--output_base", str(tmp_path),
+        "--num_devices", "1", "--resume", run_dir,
+    ])
+    assert rc == 0
+    # complete artifact set from the resumed run
+    assert glob.glob(os.path.join(run_dir,
+                                  "crosstalk_regression_model_trained_*.pth"))
+    assert os.path.exists(os.path.join(run_dir, "best_model_plateau.pth"))
+    # the training log is gapless: epochs 1..6 exactly once each
+    (log_csv,) = glob.glob(os.path.join(run_dir, "training_log_*.csv"))
+    with open(log_csv) as f:
+        lines = f.read().splitlines()
+    epochs = [int(line.split(",")[0]) for line in lines[5:] if line]
+    assert epochs == list(range(1, 7)), epochs
