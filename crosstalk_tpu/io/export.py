@@ -113,7 +113,9 @@ def export_serving_model(
                              jnp.float32),
     )
     buf = _io.BytesIO()
-    np.savez(buf, **{f"w{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    np.savez_compressed(
+        buf, **{f"w{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    )
     return exported.serialize(), buf.getvalue()
 
 
