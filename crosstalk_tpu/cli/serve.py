@@ -172,6 +172,15 @@ def main(argv=None) -> int:
     host, port = server.address
     print(f"Serving on http://{host}:{port}  "
           f"(POST /predict, GET /healthz, GET /stats) — Ctrl-C to stop")
+
+    # SIGTERM (the orchestrator-standard stop signal) drains like Ctrl-C:
+    # stop accepting, flush queued batches, resolve in-flight futures.
+    import signal
+
+    def _sigterm(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -360,6 +360,13 @@ def test_serve_cli_subprocess(tmp_path):
                 torch.from_numpy(norm.transpose(0, 3, 1, 2))
             ).numpy().ravel()
         np.testing.assert_allclose(out["alpha"], golden, rtol=1e-4, atol=1e-4)
-    finally:
+
+        # SIGTERM drains gracefully: exit 0, shutdown message printed
         proc.terminate()
-        proc.wait(timeout=30)
+        rest = proc.communicate(timeout=60)[0]
+        assert proc.returncode == 0, f"SIGTERM exit {proc.returncode}:\n{rest}"
+        assert "Shutting down" in rest
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
