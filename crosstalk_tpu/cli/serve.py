@@ -86,7 +86,8 @@ def main(argv=None) -> int:
 
     device = jax.devices()[0]
     if args.artifact:
-        # Serve a pre-lowered AOT artifact: batch/image size are baked in.
+        # Serve a pre-lowered AOT artifact (weights ride in the file;
+        # dynamic-batch artifacts accept any batch size).
         from crosstalk_tpu.io.export import load_exported
 
         print("--- Loading AOT artifact ---")
@@ -174,10 +175,13 @@ def main(argv=None) -> int:
           f"(POST /predict, GET /healthz, GET /stats) — Ctrl-C to stop")
 
     # SIGTERM (the orchestrator-standard stop signal) drains like Ctrl-C:
-    # stop accepting, flush queued batches, resolve in-flight futures.
+    # stop accepting, flush queued batches, resolve in-flight futures. The
+    # handler disarms itself so an escalated second SIGTERM can't abort the
+    # drain mid-flush.
     import signal
 
     def _sigterm(signum, frame):
+        signal.signal(signal.SIGTERM, signal.SIG_IGN)
         raise KeyboardInterrupt
 
     signal.signal(signal.SIGTERM, _sigterm)

@@ -1,9 +1,10 @@
 """AOT serving-model export: serialize the serving forward as StableHLO.
 
-`jax.export` lowers the jitted serving program ONCE — weights baked in as
-constants, normalization included, fixed batch shape — into a
-version-stable StableHLO artifact that loads and runs with NO model code,
-checkpoint file, or flax dependency at the deployment site:
+`jax.export` lowers the jitted serving program ONCE — normalization
+included, weights shipped alongside in the same file, a symbolic batch
+dimension by default — into a version-stable StableHLO artifact that loads
+and runs with NO model code, checkpoint file, or flax dependency at the
+deployment site:
 
     tools/export_model.py -p model.pth --out model.ctkx        # export
     fn, meta = load_exported("model.ctkx"); alphas = fn(tiles)  # serve
@@ -66,12 +67,6 @@ def make_forward(model_cfg: ModelConfig, fast: bool = True,
         return forward(variables, normalize_batch_nhwc(raw))[:, 0]
 
     return serve
-
-
-def make_serving_fn(variables, model_cfg: ModelConfig, fast: bool = True):
-    """-> fn(raw (B,H,W,2) f32) -> (B,) f32 with the weights closed over."""
-    serve = make_forward(model_cfg, fast=fast)
-    return lambda raw: serve(variables, raw)
 
 
 def export_serving_model(
@@ -173,13 +168,15 @@ def load_exported(path: str):
 
     blob, weights, meta = read_exported(path)
     exported = jexport.deserialize(blob)
-    with np.load(_io.BytesIO(weights)) as npz:
-        try:
+    import zipfile
+
+    try:
+        with np.load(_io.BytesIO(weights)) as npz:
             leaves = tuple(
                 jax.device_put(npz[f"w{i}"]) for i in range(len(npz.files))
             )
-        except KeyError as e:
-            raise ValueError(f"{path}: corrupt weights section: {e}")
+    except (KeyError, zipfile.BadZipFile, OSError) as e:
+        raise ValueError(f"{path}: corrupt weights section: {e}")
 
     def fn(raw) -> np.ndarray:
         return np.asarray(exported.call(leaves, jnp.asarray(raw, jnp.float32)))

@@ -99,3 +99,25 @@ def make_synthetic_dataset(root, n=12, size=32, seed=0):
 @pytest.fixture()
 def synthetic_data_dirs(tmp_path):
     return make_synthetic_dataset(str(tmp_path))
+
+
+def torch_golden_by_id(tmodel, mixed_dir, source_dir):
+    """{image_id: reference-model prediction} over a dataset dir, applying
+    the reference's per-tile min-max normalization. Shared by the CLI tests
+    that compare CSV rows against the torch twin."""
+    import torch
+
+    from crosstalk_tpu.data.index import PairIndex
+    from crosstalk_tpu.data.pipeline import TileStore
+
+    index = PairIndex(mixed_dir, source_dir)
+    store = TileStore(index.samples, jobs=1)
+    tiles = np.asarray(store.tiles)
+    lo = tiles.min(axis=(1, 2), keepdims=True)
+    hi = tiles.max(axis=(1, 2), keepdims=True)
+    batch = (tiles - lo) / (hi - lo)
+    with torch.no_grad():
+        golden = tmodel(
+            torch.from_numpy(batch.transpose(0, 3, 1, 2))
+        ).numpy().ravel()
+    return {int(s.image_id): g for s, g in zip(index.samples, golden)}

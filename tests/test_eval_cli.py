@@ -64,19 +64,9 @@ def test_eval_cli_end_to_end(cli_setup):
     assert any(line.startswith("model_options: single") for line in lines)
 
     # prediction parity vs the torch model itself
-    from crosstalk_tpu.data.index import PairIndex
-    from crosstalk_tpu.data.pipeline import TileStore
+    from tests.conftest import torch_golden_by_id
 
-    index = PairIndex(mixed_dir, source_dir)
-    store = TileStore(index.samples, jobs=1)
-    tiles = np.asarray(store.tiles)
-    lo = tiles.min(axis=(1, 2), keepdims=True)
-    hi = tiles.max(axis=(1, 2), keepdims=True)
-    batch = (tiles - lo) / (hi - lo)
-    with torch.no_grad():
-        golden = tmodel(torch.from_numpy(batch.transpose(0, 3, 1, 2))).numpy().ravel()
-
-    by_id = {int(s.image_id): g for s, g in zip(index.samples, golden)}
+    by_id = torch_golden_by_id(tmodel, mixed_dir, source_dir)
     for row in rows:
         assert abs(float(row["Predicted_Label"]) - by_id[int(row["Image_ID"])]) < 1e-4
         for field in EVAL_FIELDNAMES[3:]:
@@ -97,18 +87,9 @@ def test_eval_cli_fast_path_on_cpu(cli_setup):
     with open(csv_path) as f:
         rows = list(csv.DictReader(f))
     assert len(rows) == 10
-    from crosstalk_tpu.data.index import PairIndex
-    from crosstalk_tpu.data.pipeline import TileStore
+    from tests.conftest import torch_golden_by_id
 
-    index = PairIndex(mixed_dir, source_dir)
-    store = TileStore(index.samples, jobs=1)
-    tiles = np.asarray(store.tiles)
-    lo = tiles.min(axis=(1, 2), keepdims=True)
-    hi = tiles.max(axis=(1, 2), keepdims=True)
-    batch = (tiles - lo) / (hi - lo)
-    with torch.no_grad():
-        golden = tmodel(torch.from_numpy(batch.transpose(0, 3, 1, 2))).numpy().ravel()
-    by_id = {int(s.image_id): g for s, g in zip(index.samples, golden)}
+    by_id = torch_golden_by_id(tmodel, mixed_dir, source_dir)
     # bf16 serving path: looser budget than the f32 parity mode
     for row in rows:
         assert abs(float(row["Predicted_Label"]) - by_id[int(row["Image_ID"])]) < 2e-2
@@ -131,18 +112,9 @@ def test_eval_cli_fast_with_mesh(cli_setup):
     with open(csv_path) as f:
         rows = list(csv.DictReader(f))
     assert len(rows) == 10
-    from crosstalk_tpu.data.index import PairIndex
-    from crosstalk_tpu.data.pipeline import TileStore
+    from tests.conftest import torch_golden_by_id
 
-    index = PairIndex(mixed_dir, source_dir)
-    store = TileStore(index.samples, jobs=1)
-    tiles = np.asarray(store.tiles)
-    lo = tiles.min(axis=(1, 2), keepdims=True)
-    hi = tiles.max(axis=(1, 2), keepdims=True)
-    batch = (tiles - lo) / (hi - lo)
-    with torch.no_grad():
-        golden = tmodel(torch.from_numpy(batch.transpose(0, 3, 1, 2))).numpy().ravel()
-    by_id = {int(s.image_id): g for s, g in zip(index.samples, golden)}
+    by_id = torch_golden_by_id(tmodel, mixed_dir, source_dir)
     for row in rows:  # bf16 serving budget, sharded == unsharded semantics
         assert abs(float(row["Predicted_Label"]) - by_id[int(row["Image_ID"])]) < 2e-2
 
@@ -173,18 +145,9 @@ def test_eval_cli_end_to_end_double(cli_setup):
     assert list(rows[0].keys()) == EVAL_FIELDNAMES
     assert len(rows) == 10
 
-    from crosstalk_tpu.data.index import PairIndex
-    from crosstalk_tpu.data.pipeline import TileStore
+    from tests.conftest import torch_golden_by_id
 
-    index = PairIndex(mixed_dir, source_dir)
-    store = TileStore(index.samples, jobs=1)
-    tiles = np.asarray(store.tiles)
-    lo = tiles.min(axis=(1, 2), keepdims=True)
-    hi = tiles.max(axis=(1, 2), keepdims=True)
-    batch = (tiles - lo) / (hi - lo)
-    with torch.no_grad():
-        golden = tmodel(torch.from_numpy(batch.transpose(0, 3, 1, 2))).numpy().ravel()
-    by_id = {int(s.image_id): g for s, g in zip(index.samples, golden)}
+    by_id = torch_golden_by_id(tmodel, mixed_dir, source_dir)
     for row in rows:
         pred = float(row["Predicted_Label"])
         assert abs(pred - by_id[int(row["Image_ID"])]) < 1e-4

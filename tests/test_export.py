@@ -79,6 +79,27 @@ def test_export_bad_file_rejected(tmp_path):
             read_exported(str(p))
 
 
+def test_export_corrupt_weights_zip_rejected(tmp_path, tiny_model):
+    """A weights section that passes the length checks but is corrupt zip
+    bytes must raise ValueError from load_exported (the serve CLI's catch),
+    not zipfile.BadZipFile."""
+    from crosstalk_tpu.io.export import (
+        export_serving_model,
+        load_exported,
+        save_exported,
+    )
+
+    cfg, model, variables = tiny_model
+    blob, weights = export_serving_model(variables, cfg, batch_size=2,
+                                         image_size=32, fast=False,
+                                         platforms=["cpu"])
+    corrupt = weights[:10] + bytes(len(weights) - 10)  # keep PK magic
+    path = str(tmp_path / "cw.ctkx")
+    save_exported(path, blob, corrupt, {"model": "single"})
+    with pytest.raises(ValueError, match="corrupt weights section"):
+        load_exported(path)
+
+
 def test_export_dynamic_batch(tmp_path, tiny_model):
     """batch_size=None (the default) exports a symbolic batch dimension:
     one artifact serves any batch size, on both the flax and the fast

@@ -4,8 +4,9 @@
     python tools/export_model.py -p model.pth [-o single] [--out model.ctkx]
     [--batch_size 256] [--platforms tpu cpu] [--parity]
 
-The artifact (io/export.py format) embeds weights + normalization at ONE
-static batch shape and loads with jax alone:
+The artifact (io/export.py format) carries the lowered program + weights +
+normalization — a symbolic batch dimension by default (any batch size;
+--batch_size pins one static shape) — and loads with jax alone:
 
     from crosstalk_tpu.io.export import load_exported
     fn, meta = load_exported("model.ctkx")
@@ -39,6 +40,9 @@ def main(argv=None) -> int:
                     help="Export the f32 parity forward instead of the "
                          "bf16 serving path")
     args = ap.parse_args(argv)
+    if args.batch_size is not None and args.batch_size <= 0:
+        print(f"Error: --batch_size must be positive, got {args.batch_size}")
+        return 1
 
     from crosstalk_tpu.config import ModelConfig
     from crosstalk_tpu.io.export import export_serving_model, save_exported
@@ -48,7 +52,8 @@ def main(argv=None) -> int:
     cfg = ModelConfig(variant=args.model_options,
                       compute_dtype="f32" if args.parity else "bf16")
     print(f"Lowering for {args.platforms} "
-          f"(batch {args.batch_size or 'dynamic'}, {args.image_size}px, "
+          f"(batch {'dynamic' if args.batch_size is None else args.batch_size}, "
+          f"{args.image_size}px, "
           f"{'f32 parity' if args.parity else 'bf16 serving'})...")
     blob, weights = export_serving_model(
         variables, cfg, args.batch_size, image_size=args.image_size,
@@ -58,7 +63,8 @@ def main(argv=None) -> int:
     save_exported(out, blob, weights, {
         "model": args.model_options,
         "checkpoint": os.path.basename(args.model_path),
-        "batch_size": args.batch_size or "dynamic",
+        "batch_size": ("dynamic" if args.batch_size is None
+                       else args.batch_size),
         "image_size": args.image_size,
         "platforms": args.platforms,
         "path": "f32-parity" if args.parity else "bf16-serving",
