@@ -101,6 +101,59 @@ def test_batcher_error_propagates_and_recovers():
         b.close()
 
 
+def test_batcher_randomized_stress():
+    """Adversarial interleaving: 12 threads, random request sizes (1..19,
+    spanning the batch size both ways), random client-side jitter — every
+    request's predictions must match the direct computation exactly, and
+    every tile must be processed exactly once."""
+    processed = []
+    lock = threading.Lock()
+
+    def predict(batch):
+        with lock:
+            processed.append(batch.shape[0])
+        return _mean_predict(batch)
+
+    b = DynamicBatcher(predict, batch_size=8, tile_shape=TILE,
+                       max_delay_ms=3.0)
+    try:
+        n_threads, per_thread = 12, 6
+        results = [[None] * per_thread for _ in range(n_threads)]
+        tiles = [
+            [np.random.default_rng(100 + 17 * t + k).random(
+                (int(np.random.default_rng(7 * t + k).integers(1, 20)),) + TILE,
+                np.float32)
+             for k in range(per_thread)]
+            for t in range(n_threads)
+        ]
+
+        def worker(t):
+            rng = np.random.default_rng(1000 + t)
+            for k in range(per_thread):
+                time.sleep(float(rng.random()) * 0.004)
+                results[t][k] = b.submit(tiles[t][k]).result(timeout=60)
+
+        threads = [threading.Thread(target=worker, args=(t,))
+                   for t in range(n_threads)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for t in range(n_threads):
+            for k in range(per_thread):
+                np.testing.assert_allclose(
+                    results[t][k], _mean_predict(tiles[t][k]), rtol=1e-6
+                )
+        total = sum(x.shape[0] for row in tiles for x in row)
+        stats = b.stats()
+        assert stats["tiles"] == total
+        # every dispatched batch is exactly the static shape
+        assert all(n == 8 for n in processed)
+        assert stats["batches"] * 8 - stats["padded_rows"] == total
+    finally:
+        b.close()
+
+
 def test_batcher_validates_and_closes():
     b = DynamicBatcher(_mean_predict, batch_size=2, tile_shape=TILE,
                        max_delay_ms=1.0)
