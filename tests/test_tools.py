@@ -95,3 +95,24 @@ def test_sweep_runner_end_to_end(tmp_path):
         rows = list(csv.DictReader(f))
     assert len(rows) == 2
     assert {r["batch_size"] for r in rows} == {"4", "8"}
+
+
+def test_serve_bench_smoke():
+    """tools/serve_bench.py end-to-end on CPU (tiny window): prints one
+    JSON line with throughput + latency percentiles + occupancy."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "serve_bench.py"),
+         "--image_size", "64", "--batch_size", "4", "--clients", "3",
+         "--tiles_per_request", "2", "--seconds", "3", "--parity"],
+        capture_output=True, text=True, cwd=REPO, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    import json
+
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["tiles_per_sec"] > 0
+    assert stats["requests"] > 0
+    assert 0 < stats["latency_ms_p50"] <= stats["latency_ms_max"]
+    assert 0 < stats["batch_occupancy"] <= 1
