@@ -258,3 +258,11 @@ def test_export_cli_roundtrip(tmp_path):
             torch.from_numpy(((raw - lo) / (hi - lo)).transpose(0, 3, 1, 2))
         ).numpy().ravel()
     np.testing.assert_allclose(fn(raw), golden, rtol=1e-4, atol=1e-4)
+
+
+def test_export_cli_rejects_nonpositive_batch(tmp_path, capsys):
+    from tools.export_model import main as export_main
+
+    rc = export_main(["-p", str(tmp_path / "m.pth"), "--batch_size", "0"])
+    assert rc == 1
+    assert "must be positive" in capsys.readouterr().out
