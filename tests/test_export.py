@@ -266,3 +266,65 @@ def test_export_cli_rejects_nonpositive_batch(tmp_path, capsys):
     rc = export_main(["-p", str(tmp_path / "m.pth"), "--batch_size", "0"])
     assert rc == 1
     assert "must be positive" in capsys.readouterr().out
+
+
+def test_serve_cli_artifact_subprocess(tmp_path, tiny_model):
+    """serve CLI end-to-end on a dynamic-batch artifact: export -> file ->
+    `crosstalk_tpu.cli.serve --artifact` subprocess -> HTTP -> SIGTERM."""
+    import io
+    import json
+    import time
+    import urllib.request
+
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.io.export import export_serving_model, save_exported
+
+    cfg, model, variables = tiny_model
+    blob, weights = export_serving_model(variables, cfg, image_size=32,
+                                         fast=False, platforms=["cpu"])
+    path = str(tmp_path / "m.ctkx")
+    save_exported(path, blob, weights, {
+        "model": "single", "batch_size": "dynamic", "image_size": 32,
+        "path": "f32-parity",
+    })
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "crosstalk_tpu.cli.serve",
+         "--artifact", path, "--port", "0", "--batch_size", "4"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env={**os.environ, "PYTHONPATH": REPO},
+    )
+    try:
+        url = None
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            if not line and proc.poll() is not None:
+                raise AssertionError("serve CLI exited before listening")
+            if line.startswith("Serving on "):
+                url = line.split()[2]
+                break
+        assert url, "never saw the 'Serving on' line"
+
+        raw = np.random.default_rng(9).random((3, 32, 32, 2), np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, tiles=raw)
+        req = urllib.request.Request(url + "/predict", data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = json.load(resp)
+        golden = np.asarray(
+            model.apply(variables, normalize_batch_nhwc(raw), train=False)
+        )[:, 0]
+        np.testing.assert_allclose(out["alpha"], golden, rtol=1e-5, atol=1e-5)
+
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as resp:
+            health = json.load(resp)
+        assert health["batch_size"] == "dynamic"
+
+        proc.terminate()  # SIGTERM drains gracefully
+        rest = proc.communicate(timeout=60)[0]
+        assert proc.returncode == 0, rest
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
