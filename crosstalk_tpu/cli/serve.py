@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "(default 1; batch_size must divide it)")
     parser.add_argument("--request_timeout", type=float, default=120.0,
                         help="Per-request result timeout, seconds")
+    parser.add_argument("--max_body_mb", type=int, default=256,
+                        help="Reject request bodies above this many MiB "
+                             "(memory-safety cap for public binds)")
+    parser.add_argument("--max_tiles", type=int, default=4096,
+                        help="Reject requests holding more than this many "
+                             "decoded tiles")
     parser.add_argument("--verbose", action="store_true",
                         help="Log each HTTP request")
     return parser
@@ -169,6 +175,8 @@ def main(argv=None) -> int:
         model_info=model_info,
         request_timeout=args.request_timeout,
         verbose=args.verbose,
+        max_body_bytes=args.max_body_mb << 20,
+        max_tiles=args.max_tiles,
     )
     host, port = server.address
     print(f"Serving on http://{host}:{port}  "

@@ -129,16 +129,23 @@ def main(argv=None) -> int:
         # compute silently (losses are mesh-global, so control flow agrees).
         # Error/Warning lines still surface on stderr — a rank failing
         # silently would leave the cluster hanging with no diagnostic.
-        class _NonPrimaryStdout:
+        import io as _io
+
+        class _NonPrimaryStdout(_io.TextIOBase):
+            # TextIOBase supplies the full file API (isatty, fileno,
+            # writelines, readable/seekable, ...) so libraries probing the
+            # stream don't crash on a missing attribute.
             def __init__(self, rank):
+                super().__init__()
                 self._rank = rank
+
+            def writable(self):
+                return True
 
             def write(self, s):
                 if "Error" in s or "Warning" in s:
                     sys.stderr.write(f"[rank {self._rank}] {s}")
-
-            def flush(self):
-                pass
+                return len(s)
 
         sys.stdout = _NonPrimaryStdout(jax.process_index())
 

@@ -26,6 +26,7 @@ from crosstalk_tpu.config import ModelConfig
 from crosstalk_tpu.ops.pallas.input_block import (
     fold_bn_affine,
     fused_input_block,
+    select_chunk,
 )
 
 _BF16 = jnp.bfloat16
@@ -95,10 +96,11 @@ def _branch_eval(x, params, stats, eps, slope, use_pallas, interpret):
             and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
             and kernel.shape[-1] % 128 == 0  # Mosaic lane-width constraint
-            # the kernel tiles the pixel dim in chunks from this candidate
-            # list (input_block.py); an odd m would fall through to a
-            # single chunk=m block that can exceed VMEM for large tiles
-            and (m <= 4096 or any(m % cand == 0 for cand in (4096, 2048, 1024, 512, 256)))
+            # the resolved pixel chunk is the bf16 sublane dim of the
+            # kernel's blocks: it must be 16-aligned and VMEM-sized, else
+            # fall back to the XLA block (e.g. 90px tiles -> m=2025)
+            and select_chunk(m) % 16 == 0
+            and select_chunk(m) <= 4096
         )
         if i == 0 and pallas_ok:
             x = fused_input_block(

@@ -110,6 +110,20 @@ def _gemm_max_body(p_ref, w_ref, b_ref, o_ref, *, f: int, slope: float):
     o_ref[0, :, :] = jnp.where(y >= 0, y, slope * y).astype(o_ref.dtype)
 
 
+def select_chunk(m: int) -> int:
+    """Pixel-chunk size the kernel will tile the m = (H/2)*(W/2) dim with.
+
+    Callers gating the Pallas path (eval/fast_forward.py) must also check
+    ``select_chunk(m) % 16 == 0`` — the chunk is the bf16 sublane dim of the
+    patch/output blocks, and Mosaic needs it 16-aligned; an unaligned m with
+    no candidate divisor (e.g. 90px tiles, m=2025) falls back to XLA.
+    """
+    for cand in (4096, 2048, 1024, 512, 256):
+        if m % cand == 0:
+            return min(cand, m)
+    return m
+
+
 def fused_input_block(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -148,11 +162,7 @@ def fused_input_block(
     w2k = (w2k * jnp.tile(scale, 4)[None, :]).astype(jnp.bfloat16)
     bias1 = bias.reshape(1, f).astype(jnp.float32)
 
-    chunk = m
-    for cand in (4096, 2048, 1024, 512, 256):
-        if m % cand == 0:
-            chunk = min(cand, m)
-            break
+    chunk = select_chunk(m)
 
     body = functools.partial(_gemm_max_body, f=f, slope=slope)
     out = pl.pallas_call(

@@ -35,16 +35,29 @@ class CrosstalkClient:
         return self._get_json("/stats")
 
     def predict(
-        self, mixed: np.ndarray, source: Optional[np.ndarray] = None
+        self,
+        mixed: np.ndarray,
+        source: Optional[np.ndarray] = None,
+        dtype: Optional[str] = None,
     ) -> np.ndarray:
         """Predict alphas. Either ``mixed`` + ``source`` of shape (n, H, W)
         (or a single (H, W) tile each), or ``mixed`` alone already stacked
-        as (n, H, W, 2). Returns (n,) float32."""
+        as (n, H, W, 2). Returns (n,) float32.
+
+        ``dtype`` casts the payload before upload; ``"float16"`` halves the
+        wire size (the production default recommendation — the dominant
+        serving cost in bandwidth-limited deployments is the upload, see
+        PERF_NOTES "Online serving stack"). The server min-max normalizes
+        per tile on device, so the f16 quantization of raw intensities
+        perturbs predictions only at the ~1e-3 alpha level. Omit (None)
+        to send the arrays' own dtype, e.g. for f32 parity checks.
+        """
+        cast = (lambda a: np.asarray(a, dtype)) if dtype else np.asarray
         buf = io.BytesIO()
         if source is None:
-            np.savez(buf, tiles=np.asarray(mixed))
+            np.savez(buf, tiles=cast(mixed))
         else:
-            np.savez(buf, mixed=np.asarray(mixed), source=np.asarray(source))
+            np.savez(buf, mixed=cast(mixed), source=cast(source))
         req = urllib.request.Request(self.url + "/predict", data=buf.getvalue())
         with urllib.request.urlopen(req, timeout=self.timeout) as r:
             out = json.load(r)

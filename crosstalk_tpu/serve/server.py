@@ -28,11 +28,21 @@ import numpy as np
 
 from crosstalk_tpu.serve.batcher import DynamicBatcher
 
-_MAX_BODY = 1 << 30  # 1 GiB: ~2,000 256x256 float64 pairs
+# Default request-body cap: 256 MiB holds ~1,000 256x256 float16 pairs
+# (or ~500 float32 ones) — far above any sane request, far below a level
+# that lets a handful of concurrent posts exhaust host memory. Both caps
+# are constructor/CLI-configurable (``max_body_bytes`` / ``max_tiles``).
+_MAX_BODY = 256 << 20
+_MAX_TILES = 4096  # decoded-tile cap per request (post-decompression bound)
 
 
-def _decode_request(body: bytes, tile_hw) -> np.ndarray:
-    """npz bytes -> (n, H, W, 2) float32 tiles. Raises ValueError."""
+def _decode_request(body: bytes, tile_hw, max_tiles: int) -> np.ndarray:
+    """npz bytes -> (n, H, W, 2) float32 tiles. Raises ValueError.
+
+    Accepts any numeric payload dtype (float16 halves the wire size and is
+    the recommended production format — see client.predict(dtype=...));
+    everything is cast to float32 before the device sees it.
+    """
     try:
         with np.load(io.BytesIO(body)) as npz:
             if "tiles" in npz:
@@ -65,6 +75,11 @@ def _decode_request(body: bytes, tile_hw) -> np.ndarray:
         raise ValueError(
             f"model serves {tile_hw[0]}x{tile_hw[1]} tiles, got "
             f"{tiles.shape[1]}x{tiles.shape[2]}"
+        )
+    if tiles.shape[0] > max_tiles:
+        raise ValueError(
+            f"request holds {tiles.shape[0]} tiles, cap is {max_tiles}; "
+            "split into smaller requests"
         )
     return tiles
 
@@ -99,13 +114,23 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path != "/predict":
             self._send_json(404, {"error": f"no such endpoint: {self.path}"})
             return
-        length = int(self.headers.get("Content-Length", 0))
-        if length <= 0 or length > _MAX_BODY:
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except (TypeError, ValueError):
+            self._send_json(
+                400,
+                {"error": "bad Content-Length: "
+                          f"{self.headers.get('Content-Length')!r}"},
+            )
+            return
+        if length <= 0 or length > self.server.max_body_bytes:
             self._send_json(400, {"error": f"bad Content-Length: {length}"})
             return
         body = self.rfile.read(length)
         try:
-            tiles = _decode_request(body, self.server.tile_hw)
+            tiles = _decode_request(
+                body, self.server.tile_hw, self.server.max_tiles
+            )
             alphas = self.server.batcher.submit(tiles).result(
                 timeout=self.server.request_timeout
             )
@@ -138,6 +163,8 @@ class CrosstalkServer:
         model_info: Optional[Dict] = None,
         request_timeout: float = 120.0,
         verbose: bool = False,
+        max_body_bytes: int = _MAX_BODY,
+        max_tiles: int = _MAX_TILES,
     ):
         self.batcher = DynamicBatcher(
             predict_fn,
@@ -151,6 +178,8 @@ class CrosstalkServer:
         self._httpd.model_info = model_info or {}
         self._httpd.request_timeout = request_timeout
         self._httpd.verbose = verbose
+        self._httpd.max_body_bytes = int(max_body_bytes)
+        self._httpd.max_tiles = int(max_tiles)
         self._thread: Optional[threading.Thread] = None
 
     @property

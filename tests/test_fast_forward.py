@@ -32,6 +32,32 @@ def _reference_block(x, kernel, scale, bias, slope=0.01):
     )
 
 
+def test_pallas_gate_rejects_unaligned_pixel_chunks():
+    """90px tiles give m = 45*45 = 2025 pooled pixels — no candidate divisor
+    and not sublane-aligned; the gate must route them to the XLA block (and
+    the XLA fallback must still be numerically right). 256px (m=16384) and
+    32px (m=256) stay on the Pallas path."""
+    from crosstalk_tpu.ops.pallas.input_block import select_chunk
+
+    assert select_chunk(16384) == 4096 and select_chunk(16384) % 16 == 0
+    assert select_chunk(256) == 256 and select_chunk(256) % 16 == 0
+    assert select_chunk(2025) == 2025 and select_chunk(2025) % 16 != 0
+
+    # end-to-end: a 90px forward through the fast path (gate falls back to
+    # XLA internally) matches the flax model
+    cfg = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=2,
+                      compute_dtype="bf16")
+    model = build_model(cfg)
+    variables = init_model(model, jax.random.PRNGKey(0), image_size=90)
+    x = jnp.asarray(
+        np.random.default_rng(3).random((2, 90, 90, 2)).astype(np.float32))
+    golden = model.apply(variables, x, train=False)
+    fast = make_fast_forward(cfg, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fast(variables, x)), np.asarray(golden),
+        atol=3e-2, rtol=3e-2)
+
+
 @pytest.mark.parametrize("c_in,features,size", [(2, 128, 32), (1, 64, 64), (2, 128, 64)])
 def test_fused_input_block_matches_reference(c_in, features, size):
     rng = np.random.default_rng(0)

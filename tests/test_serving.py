@@ -324,6 +324,81 @@ def test_http_health_stats_and_errors(running_server):
     assert exc_info.value.code == 404
 
 
+def test_float16_wire_format_halves_payload_within_budget(running_server):
+    """The production wire format: client casts to float16 before upload.
+    Payload must be ~half the f32 size and predictions must stay within the
+    quantization budget of the f32 answer (normalization is on-device, so
+    f16 raw intensities only perturb alphas at the ~1e-3 level)."""
+    from crosstalk_tpu.serve.client import CrosstalkClient
+
+    url, model, variables = running_server
+    client = CrosstalkClient(url)
+    rng = np.random.default_rng(7)
+    # realistic raw intensities (not pre-normalized), float64 like the TIFFs
+    mixed = rng.random((4, 32, 32)) * 1800.0 + 100.0
+    source = rng.random((4, 32, 32)) * 1800.0 + 100.0
+
+    def body_size(dtype):
+        buf = io.BytesIO()
+        cast = (lambda a: np.asarray(a, dtype)) if dtype else np.asarray
+        np.savez(buf, mixed=cast(mixed), source=cast(source))
+        return len(buf.getvalue())
+
+    f32, f16 = body_size("float32"), body_size("float16")
+    assert f16 < 0.55 * f32  # halved transfer (npz headers are tiny)
+
+    golden = client.predict(mixed, source, dtype="float32")
+    got = client.predict(mixed, source, dtype="float16")
+    np.testing.assert_allclose(got, golden, atol=2e-3)
+
+
+def test_http_request_limits(running_server):
+    """Malformed Content-Length and oversized requests are clean 400s, not
+    dropped connections; the server survives both."""
+    url, _, _ = running_server
+
+    # non-numeric Content-Length -> 400 (not a handler-thread traceback)
+    import http.client
+
+    host, port = url.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Length", "banana")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "Content-Length" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()
+
+    # tile-count cap -> 400 with an actionable message
+    from crosstalk_tpu.serve.server import CrosstalkServer, _decode_request
+
+    with pytest.raises(ValueError, match="cap is 2"):
+        buf = io.BytesIO()
+        np.savez(buf, tiles=np.zeros((3, 32, 32, 2), np.float16))
+        _decode_request(buf.getvalue(), (32, 32), max_tiles=2)
+
+    # body-size cap -> 400 end-to-end against a tightly-capped server
+    small = CrosstalkServer(lambda b: b.mean(axis=(1, 2, 3)), batch_size=2,
+                            image_size=32, port=0, max_body_bytes=1024)
+    small.start_background()
+    try:
+        shost, sport = small.address
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post_npz(f"http://{shost}:{sport}",
+                      tiles=np.zeros((1, 32, 32, 2), np.float32))
+        assert exc_info.value.code == 400
+        assert "Content-Length" in json.load(exc_info.value)["error"]
+    finally:
+        small.shutdown()
+
+    # the main server is still healthy after all of the above
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as resp:
+        assert json.load(resp)["status"] == "ok"
+
+
 def test_http_error_with_unread_body_closes_connection(running_server):
     """A 404 on a POST whose body was never drained must close the
     keep-alive connection — otherwise the unread npz bytes are parsed as
