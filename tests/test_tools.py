@@ -68,7 +68,11 @@ def test_scale_bench_smoke():
 
 def test_sweep_runner_end_to_end(tmp_path):
     """tools/sweep.py runs a 2-combination grid and the analyzer
-    consolidates both runs."""
+    consolidates both runs; then the REFERENCE's actual analyse module
+    (/root/reference/analyse_training_results.py, imported and run over our
+    run dirs via its importable analyze_training_directory) must parse them
+    and agree with our reimplementation row for row — the executable form of
+    MIGRATION.md's interchangeability claim."""
     import csv
 
     from tools.make_dataset import main as make_dataset
@@ -95,6 +99,38 @@ def test_sweep_runner_end_to_end(tmp_path):
         rows = list(csv.DictReader(f))
     assert len(rows) == 2
     assert {r["batch_size"] for r in rows} == {"4", "8"}
+
+    # cross-check: the reference's own parser over OUR run directories
+    ref_path = "/root/reference/analyse_training_results.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference snapshot not mounted")
+    pytest.importorskip("pandas")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ref_analyse", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    ref_rows = {r["directory"]: r
+                for r in ref.analyze_training_directory(str(out))}
+    ours = {r["directory"]: r for r in rows}
+    assert set(ref_rows) == set(ours)
+    for name, rr in ref_rows.items():
+        mine = ours[name]
+        assert rr["batch_size"] == int(mine["batch_size"])
+        assert rr["learning_rate"] == pytest.approx(
+            float(mine["learning_rate"]))
+        for key in ("min_train_loss", "min_val_loss", "test_mse"):
+            assert rr[key] == pytest.approx(float(mine[key]), rel=1e-9), (
+                f"{name}.{key}: reference {rr[key]} vs ours {mine[key]}")
+        for key in ("min_train_epoch", "min_val_epoch"):
+            assert int(rr[key]) == int(float(mine[key]))
+
+    # and the reference's CSV writer round-trips our data unmodified
+    ref_csv = str(tmp_path / "ref_analysis.csv")
+    ref.save_results_to_csv(list(ref_rows.values()), ref_csv)
+    with open(ref_csv) as f:
+        assert len(list(csv.DictReader(f))) == 2
 
 
 def test_serve_bench_smoke():

@@ -245,3 +245,109 @@ def test_double_parity_config_sweep(seed, filters, size):
         _flax_eval(model, variables, x), _torch_eval(tmodel, x),
         atol=2e-5, rtol=0,
     )
+
+
+def test_multistep_training_trajectory_matches_torch():
+    """The ASSEMBLED training semantics — forward/backward + train-mode
+    BatchNorm momentum + L2-coupled Adam + a stepwise lr schedule — track a
+    torch.optim.Adam loop on identical init and batch sequence (augment and
+    dropout off). Single-step gradient and Adam parity are pinned elsewhere;
+    this composes them over 6 steps with two plateau-style lr drops, the
+    reference's inner-loop semantics end to end (train_model.py:415-432).
+    Receipt for DIVERGENCES #17.
+
+    Tolerance rationale (measured profile): Adam normalizes each update to
+    m-hat/(sqrt(v-hat)+eps), so f32 gradient noise on a low-|g| element can
+    flip that element's unit-magnitude first-step direction — an ABSOLUTE
+    per-element divergence up to ~2*sum(lr), concentrated on elements whose
+    gradients are noise-level (and whose effect on the function is therefore
+    negligible: measured eval-prediction agreement after 6 steps is ~1e-5).
+    Losses track to <=5e-4 relative over 6 steps; that is the genuine f32
+    floor of cross-framework Adam trajectory comparison, not a semantics gap.
+    """
+    from crosstalk_tpu.config import OptimConfig
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.train.steps import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    torch.manual_seed(31)
+    tmodel = TorchSingle(**SMALL_SINGLE)
+    tmodel.train()
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.eval()
+    opt = torch.optim.Adam(tmodel.parameters(), lr=1e-3, weight_decay=1e-4)
+
+    variables = torch_to_flax(tmodel.state_dict(), "single")
+    cfg = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=3,
+                      compute_dtype="f32", dropout_single=0.0)
+    model = build_model(cfg)
+    tx = make_optimizer(OptimConfig(weight_decay=1e-4))
+    state = init_train_state(model, variables, tx)
+    train_step = make_train_step(model, tx, mesh=None, augment=False)
+
+    # two plateau-style lr reductions (factor 0.3) over 6 steps
+    lrs = [1e-3, 1e-3, 3e-4, 3e-4, 9e-5, 9e-5]
+    rng = np.random.default_rng(40)
+    key = jax.random.PRNGKey(0)
+    for step, lr in enumerate(lrs):
+        raw = (rng.random((8, 32, 32, 2)) * 1800 + 100).astype(np.float32)
+        y = rng.uniform(0, 0.5, (8, 1)).astype(np.float32)
+        norm = np.asarray(normalize_batch_nhwc(jnp.asarray(raw)))
+
+        # jax step FIRST: the converted tree may hold numpy views aliasing
+        # the live torch tensors, which opt.step() mutates in place
+        state, loss_j = train_step(
+            state, jnp.asarray(raw), jnp.asarray(y), jnp.float32(lr), key
+        )
+
+        for g in opt.param_groups:
+            g["lr"] = lr
+        xt = torch.from_numpy(np.ascontiguousarray(norm.transpose(0, 3, 1, 2)))
+        opt.zero_grad()
+        loss_t = torch.nn.MSELoss()(tmodel(xt), torch.from_numpy(y))
+        loss_t.backward()
+        opt.step()
+        np.testing.assert_allclose(
+            float(loss_j), float(loss_t.detach()), rtol=2e-3,
+            err_msg=f"per-step loss diverged at step {step}",
+        )
+
+    # Final states agree. Biases immediately shadowed by a BatchNorm have
+    # analytically-zero gradients, so their Adam direction is pure f32
+    # cancellation noise normalized to O(1) — functionally irrelevant (the
+    # following BN re-centers) and excluded from the comparison.
+    shadowed = {
+        f"conv_layers.{4 * k}.bias" for k in range(3)
+    } | {"fc_layers.1.bias", "fc_layers.5.bias"}
+    jdict = flax_to_torch(
+        {"params": state.params, "batch_stats": state.batch_stats}, "single"
+    )
+    tdict = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
+             if "num_batches_tracked" not in k}
+    # absolute bound: a full Adam sign flip moves an element by 2*sum(lr)
+    # (= 5.6e-3 here); measured worst key is 1.6e-3. Running stats are a
+    # pure function of the forward passes and track much tighter.
+    flip_budget = 2 * sum(lrs)
+    compared = 0
+    for key_name, tv in tdict.items():
+        if key_name in shadowed:
+            continue
+        jv = jdict[key_name]
+        tol = flip_budget if "running" not in key_name else 3e-3
+        assert float(np.abs(jv - tv).max()) <= tol, (
+            f"{key_name}: maxdiff {np.abs(jv - tv).max():.3e} > {tol:.3e}")
+        compared += 1
+    assert compared > 25  # params + BN running stats across all layers
+
+    # and the functional state agrees: eval-mode predictions on held-out data
+    tmodel.eval()
+    x_eval = (rng.random((4, 32, 32, 2)) * 1800 + 100).astype(np.float32)
+    norm_eval = np.asarray(normalize_batch_nhwc(jnp.asarray(x_eval)))
+    ours = _flax_eval(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        norm_eval)
+    np.testing.assert_allclose(ours, _torch_eval(tmodel, norm_eval), atol=1e-4)

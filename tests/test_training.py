@@ -517,3 +517,61 @@ def test_sigkill_mid_training_then_resume(tmp_path):
         lines = f.read().splitlines()
     epochs = [int(line.split(",")[0]) for line in lines[5:] if line]
     assert epochs == list(range(1, 7)), epochs
+
+
+def test_train_cli_double_cosine_warmup_e2e(tmp_path):
+    """BASELINE config 4's exact shape at CLI level: `-o double -r
+    cosine_warmup` (reference train_model.py:534-535 with the scheduler at
+    :356-365). Asserts the full artifact contract under the reference's
+    'custom_warmup' scheduler-type naming, and strict-loads the final .pth
+    into the reference's real SimplifiedTwoBranchRegressionModel
+    (two_branch_regression.py:59-100). Small data (64px) keeps the 137M-param
+    shape family testable; the architecture path is identical to config 4.
+    """
+    import importlib.util
+
+    from crosstalk_tpu.cli.train import main as train_main
+
+    mixed_dir, source_dir = make_synthetic_dataset(
+        str(tmp_path), n=12, size=64, seed=9)
+    out_base = str(tmp_path / "runs")
+    os.makedirs(out_base)
+    rc = train_main([
+        "-m", mixed_dir, "-s", source_dir, "-b", "4", "-l", "1e-3", "-n", "2",
+        "-j", "2", "-o", "double", "-r", "cosine_warmup",
+        "--compute_dtype", "f32", "--output_base", out_base,
+        "--num_devices", "1",
+    ])
+    assert rc == 0
+    (run_dir,) = glob.glob(os.path.join(out_base, "training_run_*"))
+
+    # artifact contract under the reference's 'custom_warmup' type naming
+    assert os.path.exists(
+        os.path.join(run_dir, "best_model_custom_warmup.pth"))
+    assert os.path.exists(
+        os.path.join(run_dir, "lr_schedule_custom_warmup.png"))
+    (log,) = glob.glob(
+        os.path.join(run_dir, "training_log_*_4_0.001_custom_warmup.csv"))
+    with open(log) as f:
+        rows = list(csv.reader(f))
+    assert rows[4] == ["epoch", "train_loss", "val_loss", "learning_rate"]
+    assert len(rows) == 5 + 2
+
+    # the final checkpoint strict-loads into the reference's REAL module
+    ref_path = "/root/reference/two_branch_regression.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference snapshot not mounted")
+    spec = importlib.util.spec_from_file_location("ref_two_branch", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    (final,) = glob.glob(
+        os.path.join(run_dir, "crosstalk_regression_model_trained_*.pth"))
+    sd = torch.load(final, map_location="cpu", weights_only=True)
+    tmodel = ref.SimplifiedTwoBranchRegressionModel(
+        initial_filters_per_branch=64, input_image_size=(64, 64))
+    tmodel.load_state_dict(sd)  # strict
+    tmodel.eval()
+    with torch.no_grad():
+        out = tmodel(torch.rand(2, 2, 64, 64)).numpy()
+    assert out.shape == (2, 1)
+    assert (out >= 0).all() and (out <= 0.5).all()  # sigmoid * 0.5 head
