@@ -70,6 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--checkpoint_every", type=int, default=1,
                         help="Native-resume checkpoint cadence in epochs "
                              "(the final epoch always checkpoints)")
+    parser.add_argument("--data_placement", type=str, default="auto",
+                        choices=["auto", "host", "device"],
+                        help="'device' keeps both training splits HBM-"
+                             "resident (one upload, zero per-step H2D "
+                             "traffic; single-device only); 'host' streams "
+                             "batches through the memmap+prefetch pipeline; "
+                             "'auto' picks device when training is single-"
+                             "device and the splits fit comfortably in HBM")
     parser.add_argument("--cache_dir", type=str, default=None,
                         help="Directory for the packed decoded-tile cache "
                              "(memory-mapped; repeat runs skip TIFF decode)")
@@ -319,13 +327,32 @@ def main(argv=None) -> int:
               f"{run_dir}/model_architecture.txt")
     state = init_train_state(model, variables, tx)
 
+    from crosstalk_tpu.data.pipeline import DeviceDataset
+
+    if args.data_placement == "device":
+        if mesh is not None:
+            print("Error: --data_placement device is single-device only "
+                  "(sharded training streams each process's shard).")
+            return 1
+        device_data = True
+    elif args.data_placement == "auto":
+        # resident when single-device and the splits fit well inside one
+        # chip's HBM next to params/activations (v5e: 16 GB)
+        split_bytes = (DeviceDataset.nbytes(stores["train"])
+                       + DeviceDataset.nbytes(stores["val"]))
+        device_data = mesh is None and split_bytes <= 8 << 30
+    else:
+        device_data = False
+    if device_data:
+        print("Data placement: HBM-resident (one upload, on-device batching)")
+
     print("\nStarting training with validation...")
     with maybe_trace(args.profile):
         state, train_losses, val_losses = train_model(
             model, state, stores["train"], stores["val"],
             optim_cfg, train_cfg, run_dir, ts, args.model_options, tx,
             mesh=mesh, seed=args.seed, resume=bool(args.resume),
-            naming_batch_size=args.batch_size,
+            naming_batch_size=args.batch_size, device_data=device_data,
         )
     print("Training finished!")
 

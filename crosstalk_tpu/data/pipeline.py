@@ -186,6 +186,84 @@ def num_batches(n: int, batch_size: int, drop_last: bool = False) -> int:
     return n // batch_size if drop_last else -(-n // batch_size)
 
 
+class DeviceDataset:
+    """HBM-resident dataset: one upload, then on-device per-batch gathers.
+
+    The TPU-first alternative to the host memmap + prefetch path for datasets
+    that fit in device memory (a 2k-pair 256px float32 set is ~1 GB; a v5e
+    chip has 16 GB HBM): tiles and labels are transferred to the device ONCE,
+    and every epoch's batches are jitted gathers that never touch the host —
+    no per-step H2D traffic, no host CPU in the loop. This replaces the
+    reference's DataLoader-worker model (train_model.py:607-632) outright for
+    small/medium corpora; IDR-scale (40k-tile) runs keep the streaming path.
+
+    Shuffle semantics are identical to ``iterate_batches`` (same SeedSequence
+    permutation), so host- and device-resident training produce the same
+    batch sequence — asserted in tests/test_tiff_and_pipeline.py.
+
+    Single-device only: sharded multi-chip training keeps the host pipeline,
+    where each process uploads exactly its shard of every batch.
+    """
+
+    def __init__(self, store: TileStore, device=None):
+        import jax
+        import jax.numpy as jnp
+
+        self.n = len(store)
+        self.tile_shape = tuple(store.tiles.shape[1:])
+        if device is None:
+            device = jax.devices()[0]
+        self.tiles = jax.device_put(np.ascontiguousarray(store.tiles), device)
+        self.labels = jax.device_put(store.labels, device)
+        self.ids = store.ids  # host-side (only eval consumers need ids)
+        self._gather = jax.jit(
+            lambda tiles, labels, idx: (
+                jnp.take(tiles, idx, axis=0),
+                jnp.take(labels, idx, axis=0),
+            )
+        )
+
+    @staticmethod
+    def nbytes(store: TileStore) -> int:
+        """Device-memory footprint of residency for this store."""
+        return int(store.tiles.nbytes) + int(store.labels.nbytes)
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        epoch: int = 0,
+    ) -> Iterator[Batch]:
+        """Yield Batches whose inputs/labels are device arrays (async-ready).
+
+        Same ordering/padding contract as ``iterate_batches``; ``mask``/
+        ``ids`` stay host-side (tiny, and only the val/eval paths read them).
+        """
+        import jax.numpy as jnp
+
+        n = self.n
+        order = np.arange(n)
+        if shuffle:
+            rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+            rng.shuffle(order)
+        end = (n // batch_size) * batch_size if drop_last else n
+        for start in range(0, end, batch_size):
+            idx = order[start : start + batch_size]
+            real = len(idx)
+            if real < batch_size:
+                idx = np.concatenate(
+                    [idx, np.zeros(batch_size - real, dtype=idx.dtype)]
+                )
+            inputs, labels = self._gather(
+                self.tiles, self.labels, jnp.asarray(idx)
+            )
+            mask = np.zeros(batch_size, dtype=np.float32)
+            mask[:real] = 1.0
+            yield Batch(inputs, labels, self.ids[idx], mask)
+
+
 def device_prefetch(iterator, sharding=None, depth: int = 2):
     """Overlap H2D transfer with compute.
 

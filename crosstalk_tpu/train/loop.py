@@ -27,6 +27,7 @@ import numpy as np
 
 from crosstalk_tpu.config import OptimConfig, TrainConfig
 from crosstalk_tpu.data.pipeline import (
+    DeviceDataset,
     TileStore,
     device_prefetch,
     iterate_batches,
@@ -61,12 +62,18 @@ def train_model(
     seed: int = 43,
     resume: bool = False,
     naming_batch_size: Optional[int] = None,
+    device_data: bool = False,
 ) -> Tuple[TrainState, List[float], List[float]]:
     """Run the full training schedule; returns (state, train_losses, val_losses).
 
     ``naming_batch_size`` keeps artifact filenames on the CLI-requested batch
     size when the effective batch was clamped (the run-directory name already
-    used the requested value — the contract the analysis tool parses)."""
+    used the requested value — the contract the analysis tool parses).
+
+    ``device_data`` places both splits HBM-resident (pipeline.DeviceDataset):
+    one upload, zero per-step H2D traffic. Identical batch sequence and
+    numerics to the host path (same shuffle permutation; gathers are exact).
+    Single-device only — with a mesh the sharded host pipeline is used."""
     batch_size = train_cfg.batch_size
     naming_bs = naming_batch_size if naming_batch_size is not None else batch_size
     if batch_size <= 0:
@@ -85,6 +92,38 @@ def train_model(
     val_step = make_val_step(model, mesh=mesh)
     sharding = batch_sharding(mesh)
     state = replicate_state(state, mesh)
+
+    if device_data and mesh is not None:
+        raise ValueError(
+            "device_data is single-device only; sharded training streams "
+            "each process's shard through the host pipeline"
+        )
+    if device_data:
+        train_data = DeviceDataset(train_store)
+        val_data = DeviceDataset(val_store)
+
+        def train_batches(epoch):
+            return train_data.batches(
+                batch_size, shuffle=True, drop_last=True,
+                seed=seed, epoch=epoch,
+            )
+
+        def val_batches():
+            return val_data.batches(batch_size)
+    else:
+        def train_batches(epoch):
+            return device_prefetch(
+                iterate_batches(
+                    train_store, batch_size, shuffle=True,
+                    drop_last=True, seed=seed, epoch=epoch,
+                ),
+                sharding=sharding,
+            )
+
+        def val_batches():
+            return device_prefetch(
+                iterate_batches(val_store, batch_size), sharding=sharding
+            )
 
     # Multi-host: every process runs the identical loop (the losses are
     # mesh-global reductions, so control flow — best-model, early stop,
@@ -153,13 +192,7 @@ def train_model(
         # ---- train pass: dispatch every step async, block once at the end
         step_losses = []
         for batch in progress(
-            device_prefetch(
-                iterate_batches(
-                    train_store, batch_size, shuffle=True,
-                    drop_last=True, seed=seed, epoch=epoch,
-                ),
-                sharding=sharding,
-            ),
+            train_batches(epoch),
             desc=(f"Epoch {epoch + 1}/{train_cfg.num_epochs} [Train]"
                   if primary else None),
             total=steps_per_epoch,
@@ -174,15 +207,18 @@ def train_model(
             global_step += 1
         train_loss = float(np.mean([np.asarray(l) for l in step_losses]))
         train_losses.append(train_loss)
+        # the np.mean above blocked on the last step: close the train-pass
+        # timing window HERE so the printed tiles/s is train throughput, not
+        # train+val (the reference's per-epoch print has no such meter)
+        meter.add(steps_per_epoch * batch_size)
+        tiles_per_sec = meter.tiles_per_sec
 
         # ---- validation pass (pad-and-mask, every sample)
         sq_sum, count = 0.0, 0.0
         # same batch size as training: iterate_batches pads the tail (and
         # small splits) with masked samples, keeping mesh divisibility
         for batch in progress(
-            device_prefetch(
-                iterate_batches(val_store, batch_size), sharding=sharding
-            ),
+            val_batches(),
             desc=(f"Epoch {epoch + 1}/{train_cfg.num_epochs} [Val]"
                   if primary else None),
             total=num_batches(len(val_store), batch_size),
@@ -214,8 +250,6 @@ def train_model(
             epochs_without_improvement += 1
 
         current_lr = schedule.lr_for_step(global_step)
-        meter.add(steps_per_epoch * batch_size)
-        tiles_per_sec = meter.tiles_per_sec
         if primary:
             print(
                 f"Epoch [{epoch + 1}/{train_cfg.num_epochs}] | "

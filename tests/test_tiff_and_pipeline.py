@@ -175,3 +175,97 @@ def test_parse_raw_tiff_malformed_returns_none(tmp_path):
             _parse_raw_tiff(case)  # None or a parsed array — but never raise
         except Exception as e:  # pragma: no cover
             raise AssertionError(f"case {i} raised {type(e).__name__}: {e}")
+
+
+def test_device_dataset_matches_host_pipeline(synthetic_data_dirs):
+    """DeviceDataset (HBM-resident batching) yields the exact same batch
+    sequence — inputs, labels, ids, masks, shuffle permutation — as the host
+    iterate_batches path, shuffled and unshuffled, padded and dropped."""
+    from crosstalk_tpu.data.pipeline import DeviceDataset
+
+    mixed_dir, source_dir = synthetic_data_dirs
+    index = PairIndex(mixed_dir, source_dir)
+    store = TileStore(index.samples, jobs=2)
+    dev = DeviceDataset(store)
+    assert DeviceDataset.nbytes(store) == store.tiles.nbytes + store.labels.nbytes
+
+    for kwargs in (
+        dict(batch_size=5),
+        dict(batch_size=5, shuffle=True, seed=7, epoch=2),
+        dict(batch_size=5, shuffle=True, drop_last=True, seed=7, epoch=3),
+        dict(batch_size=4, drop_last=True),
+    ):
+        host = list(iterate_batches(store, **kwargs))
+        devb = list(dev.batches(**kwargs))
+        assert len(host) == len(devb)
+        for hb, db in zip(host, devb):
+            np.testing.assert_array_equal(hb.inputs, np.asarray(db.inputs))
+            np.testing.assert_array_equal(hb.labels, np.asarray(db.labels))
+            np.testing.assert_array_equal(hb.ids, np.asarray(db.ids))
+            np.testing.assert_array_equal(hb.mask, np.asarray(db.mask))
+
+
+def test_train_loop_device_data_equals_host(synthetic_data_dirs, tmp_path):
+    """One epoch of train_model with device_data=True produces bit-identical
+    losses to the host-pipeline run on the same init/data/seed."""
+    import jax
+
+    from crosstalk_tpu.config import ModelConfig, OptimConfig, TrainConfig
+    from crosstalk_tpu.models import build_model, init_model
+    from crosstalk_tpu.train.loop import train_model
+    from crosstalk_tpu.train.steps import init_train_state, make_optimizer
+
+    mixed_dir, source_dir = synthetic_data_dirs
+    index = PairIndex(mixed_dir, source_dir)
+    store = TileStore(index.samples[:8], jobs=1)
+    val = TileStore(index.samples[8:], jobs=1)
+
+    cfg = ModelConfig(variant="single", initial_filters=4, num_conv_blocks=2,
+                      compute_dtype="f32")
+    model = build_model(cfg)
+    optim_cfg = OptimConfig(learning_rate=1e-3, scheduler="aggressive_plateau")
+    train_cfg = TrainConfig(batch_size=4, num_epochs=2)
+
+    results = {}
+    for mode in ("host", "device"):
+        variables = init_model(model, jax.random.key(0), image_size=32)
+        tx = make_optimizer(optim_cfg)
+        state = init_train_state(model, variables, tx)
+        run_dir = str(tmp_path / f"run_{mode}")
+        import os
+        os.makedirs(run_dir, exist_ok=True)
+        _, tl, vl = train_model(
+            model, state, store, val, optim_cfg, train_cfg, run_dir,
+            "ts", "single", tx, mesh=None, seed=3,
+            device_data=(mode == "device"),
+        )
+        results[mode] = (tl, vl)
+    assert results["host"] == results["device"]
+
+
+def test_train_loop_device_data_rejects_mesh(synthetic_data_dirs, tmp_path):
+    import jax
+    import pytest as _pytest
+
+    from crosstalk_tpu.config import ModelConfig, OptimConfig, TrainConfig
+    from crosstalk_tpu.models import build_model, init_model
+    from crosstalk_tpu.parallel.mesh import data_mesh
+    from crosstalk_tpu.train.loop import train_model
+    from crosstalk_tpu.train.steps import init_train_state, make_optimizer
+
+    mixed_dir, source_dir = synthetic_data_dirs
+    index = PairIndex(mixed_dir, source_dir)
+    store = TileStore(index.samples, jobs=1)
+    cfg = ModelConfig(variant="single", initial_filters=4, num_conv_blocks=2,
+                      compute_dtype="f32")
+    model = build_model(cfg)
+    optim_cfg = OptimConfig()
+    variables = init_model(model, jax.random.key(0), image_size=32)
+    tx = make_optimizer(optim_cfg)
+    state = init_train_state(model, variables, tx)
+    with _pytest.raises(ValueError, match="single-device only"):
+        train_model(
+            model, state, store, store, optim_cfg,
+            TrainConfig(batch_size=8, num_epochs=1), str(tmp_path), "ts",
+            "single", tx, mesh=data_mesh(2), seed=3, device_data=True,
+        )
