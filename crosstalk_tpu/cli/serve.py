@@ -59,6 +59,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "(default 1; batch_size must divide it)")
     parser.add_argument("--request_timeout", type=float, default=120.0,
                         help="Per-request result timeout, seconds")
+    parser.add_argument("--transport_dtype", type=str, default="float32",
+                        choices=["float32", "float16"],
+                        help="Dtype of the assembled device batch. float16 "
+                             "halves host->device transfer (the serving "
+                             "bottleneck on bandwidth-limited links) with "
+                             "~1e-3 alpha perturbation; requires -p (the "
+                             "predictor casts on device). Pair with the "
+                             "client's predict(dtype='float16') to halve "
+                             "the HTTP wire too")
     parser.add_argument("--max_body_mb", type=int, default=256,
                         help="Reject request bodies above this many MiB "
                              "(memory-safety cap for public binds)")
@@ -106,6 +115,10 @@ def main(argv=None) -> int:
             print("Error: --num_devices > 1 requires a checkpoint "
                   "(-p); AOT artifacts are lowered single-device.")
             return 1
+        if args.transport_dtype != "float32":
+            print("Error: --transport_dtype float16 requires a checkpoint "
+                  "(-p); AOT artifacts are lowered for float32 input.")
+            return 1
         meta_bs = meta.get("batch_size", "dynamic")
         # dynamic-batch artifacts serve at the --batch_size flag; a pinned
         # artifact dictates its own shape
@@ -152,9 +165,12 @@ def main(argv=None) -> int:
         print(f"Using device: {device.platform}:{device.device_kind} x{n_dev}")
         print(f"Compiling serving program (batch {batch_size}, "
               f"{'f32 parity' if args.parity else 'bf16 serving'} path)...")
+        import numpy as np
+
         predict = make_predictor(
             variables, model_cfg, batch_size,
             image_size=image_size, fast=not args.parity, mesh=mesh,
+            input_dtype=np.dtype(args.transport_dtype),
         )
         model_info = {
             "model": args.model_options,
@@ -163,6 +179,7 @@ def main(argv=None) -> int:
             "path": "f32-parity" if args.parity else "bf16-serving",
             "batch_size": batch_size,
             "devices": n_dev,
+            "transport_dtype": args.transport_dtype,
         }
 
     server = CrosstalkServer(
@@ -177,6 +194,8 @@ def main(argv=None) -> int:
         verbose=args.verbose,
         max_body_bytes=args.max_body_mb << 20,
         max_tiles=args.max_tiles,
+        transport_dtype=(args.transport_dtype if args.model_path
+                         else "float32"),
     )
     host, port = server.address
     print(f"Serving on http://{host}:{port}  "

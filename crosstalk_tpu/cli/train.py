@@ -263,6 +263,25 @@ def main(argv=None) -> int:
             artifacts.write_params_txt(run_dir, vars(args))
             print(f"Parameters saved to {run_dir}/params.txt")
 
+    # Quickstart bootstrap: the reference bundles Training_Data/ (100 paired
+    # tiles) so its zero-flag `python train_model.py` just works. This repo
+    # doesn't vendor ~100 MB of TIFFs; instead, when both data flags are at
+    # their defaults and the default directory is absent, generate an
+    # equivalent 100-pair sample set there once (known-alpha synthetic
+    # mixtures — data/synthetic.py), so a fresh clone runs end to end.
+    if (args.mixed_channel_data_dir == "./Training_Data/Mixed"
+            and args.pure_source_data_dir == "./Training_Data/Source"
+            and not os.path.isdir(args.mixed_channel_data_dir)
+            and jax.process_count() == 1):
+        from crosstalk_tpu.data.synthetic import generate_dataset
+
+        print("\nDefault data directory ./Training_Data is missing — "
+              "generating the 100-pair sample dataset (the reference's "
+              "bundled Training_Data equivalent)...")
+        generate_dataset("./Training_Data", num_pairs=100, size=256, seed=0,
+                         progress_every=0)
+        print("Sample dataset written to ./Training_Data/{Mixed,Source}.")
+
     print("\nCreating dataset instances for initial file listing...")
     try:
         index = PairIndex(args.mixed_channel_data_dir, args.pure_source_data_dir)

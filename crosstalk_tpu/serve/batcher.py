@@ -55,12 +55,17 @@ class DynamicBatcher:
         batch_size: int,
         tile_shape,
         max_delay_ms: float = 5.0,
+        dtype=np.float32,
     ):
         if batch_size <= 0:
             raise ValueError(f"batch_size must be positive, got {batch_size}")
         self._predict = predict_fn
         self._batch_size = batch_size
         self._tile_shape = tuple(tile_shape)  # (H, W, C)
+        # transport dtype of the assembled device batch: float16 halves the
+        # host->device bytes (the serving bottleneck on bandwidth-limited
+        # links); predict_fn must accept it (predictor casts on device)
+        self._dtype = np.dtype(dtype)
         self._max_delay = max_delay_ms / 1000.0
         self._queue: "queue.Queue" = queue.Queue()
         # serializes the closed-check-then-enqueue in submit() against
@@ -86,7 +91,7 @@ class DynamicBatcher:
     def submit(self, tiles: np.ndarray) -> Future:
         """Queue ``(n, H, W, C)`` tiles; the Future resolves to ``(n,)``
         float32 alphas (or raises the batch's prediction error)."""
-        tiles = np.ascontiguousarray(tiles, dtype=np.float32)
+        tiles = np.ascontiguousarray(tiles, dtype=self._dtype)
         if tiles.ndim != 4 or tiles.shape[1:] != self._tile_shape:
             raise ValueError(
                 f"expected (n, {', '.join(map(str, self._tile_shape))}) tiles, "
@@ -109,6 +114,7 @@ class DynamicBatcher:
             out = dict(self._stats)
         out["batch_size"] = self._batch_size
         out["max_delay_ms"] = self._max_delay * 1000.0
+        out["transport_dtype"] = self._dtype.name
         if out["batches"]:
             out["mean_batch_occupancy"] = 1.0 - out["padded_rows"] / (
                 out["batches"] * self._batch_size
@@ -170,7 +176,7 @@ class DynamicBatcher:
             self._dispatch_one(backlog)
 
     def _dispatch_one(self, backlog: "collections.deque[_Pending]") -> None:
-        batch = np.zeros((self._batch_size,) + self._tile_shape, np.float32)
+        batch = np.zeros((self._batch_size,) + self._tile_shape, self._dtype)
         took = []  # (pending, dst_start, src_start, n)
         filled = 0
         while backlog and filled < self._batch_size:

@@ -29,21 +29,34 @@ def make_predictor(
     mesh=None,
     use_pallas: Optional[bool] = None,
     warmup: bool = True,
+    input_dtype=np.float32,
 ) -> Callable[[np.ndarray], np.ndarray]:
-    """-> fn((batch_size, H, W, C) float32 np) -> (batch_size,) float32 np.
+    """-> fn((batch_size, H, W, C) ``input_dtype`` np) -> (batch_size,) f32 np.
 
     ``fast`` selects the folded-BN bf16 serving forward; False uses the flax
     module in the config's compute dtype (f32 for checkpoint parity).
     ``use_pallas`` defaults to True exactly when running single-device on a
     TPU backend (the Mosaic kernel has no GSPMD partitioning rule).
+    ``input_dtype=np.float16`` compiles the program to take float16 batches
+    and upcast ON DEVICE — the host->device transfer (the serving-stack
+    bottleneck on bandwidth-limited links, PERF_NOTES "Online serving
+    stack") moves half the bytes; normalization still runs in f32.
     """
+    import jax.numpy as jnp
+
     from crosstalk_tpu.io.export import make_forward
 
     n_channels = 2
+    input_dtype = np.dtype(input_dtype)
     if use_pallas is None:
         platform = jax.devices()[0].platform
         use_pallas = (fast and platform in ("tpu", "axon") and mesh is None)
-    step = make_forward(model_cfg, fast=fast, use_pallas=use_pallas)
+    inner = make_forward(model_cfg, fast=fast, use_pallas=use_pallas)
+    if input_dtype == np.float32:
+        step = inner
+    else:
+        def step(vs, x):
+            return inner(vs, x.astype(jnp.float32))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -71,8 +84,8 @@ def make_predictor(
                 f"predict expects shape {(batch_size, image_size, image_size, n_channels)}, "
                 f"got {raw.shape}"
             )
-        return np.asarray(step(variables, raw))
+        return np.asarray(step(variables, np.asarray(raw, input_dtype)))
 
     if warmup:  # compile before the first request arrives
-        predict(np.zeros((batch_size, image_size, image_size, n_channels), np.float32))
+        predict(np.zeros((batch_size, image_size, image_size, n_channels), input_dtype))
     return predict

@@ -165,12 +165,17 @@ class CrosstalkServer:
         verbose: bool = False,
         max_body_bytes: int = _MAX_BODY,
         max_tiles: int = _MAX_TILES,
+        transport_dtype="float32",
     ):
+        # transport_dtype='float16' assembles device batches in f16 —
+        # half the host->device bytes; the predictor must be built with
+        # input_dtype=np.float16 so the upcast happens on device.
         self.batcher = DynamicBatcher(
             predict_fn,
             batch_size,
             tile_shape=(image_size, image_size, 2),
             max_delay_ms=max_delay_ms,
+            dtype=transport_dtype,
         )
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.batcher = self.batcher

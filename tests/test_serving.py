@@ -352,6 +352,38 @@ def test_float16_wire_format_halves_payload_within_budget(running_server):
     np.testing.assert_allclose(got, golden, atol=2e-3)
 
 
+def test_f16_transport_end_to_end_within_budget(tiny_model):
+    """A server built with transport_dtype='float16' (f16 device batches,
+    on-device upcast) returns predictions within the quantization budget of
+    the f32 path, and reports the transport dtype in its stats."""
+    from crosstalk_tpu.serve.client import CrosstalkClient
+    from crosstalk_tpu.serve.predictor import make_predictor
+    from crosstalk_tpu.serve.server import CrosstalkServer
+
+    cfg, model, variables = tiny_model
+    rng = np.random.default_rng(11)
+    mixed = rng.random((3, 32, 32)) * 1800 + 100
+    source = rng.random((3, 32, 32)) * 1800 + 100
+
+    results = {}
+    for dtype in ("float32", "float16"):
+        predict = make_predictor(variables, cfg, batch_size=4, image_size=32,
+                                 fast=False, input_dtype=np.dtype(dtype))
+        server = CrosstalkServer(predict, batch_size=4, image_size=32,
+                                 port=0, max_delay_ms=2.0,
+                                 transport_dtype=dtype)
+        server.start_background()
+        try:
+            host, port = server.address
+            client = CrosstalkClient(f"http://{host}:{port}")
+            results[dtype] = client.predict(mixed, source, dtype=dtype)
+            assert client.stats()["transport_dtype"] == dtype
+        finally:
+            server.shutdown()
+    np.testing.assert_allclose(results["float16"], results["float32"],
+                               atol=2e-3)
+
+
 def test_http_request_limits(running_server):
     """Malformed Content-Length and oversized requests are clean 400s, not
     dropped connections; the server survives both."""

@@ -575,3 +575,45 @@ def test_train_cli_double_cosine_warmup_e2e(tmp_path):
         out = tmodel(torch.rand(2, 2, 64, 64)).numpy()
     assert out.shape == (2, 1)
     assert (out >= 0).all() and (out <= 0.5).all()  # sigmoid * 0.5 head
+
+
+def test_train_cli_quickstart_bootstraps_sample_dataset(tmp_path, monkeypatch):
+    """A fresh clone's zero-flag `python train_model.py` must work: when both
+    data flags are at their defaults and ./Training_Data is absent, the CLI
+    generates the 100-pair sample set (the reference's bundled Training_Data
+    equivalent) and trains on it. Shrunk generation (12 pairs, 32px) keeps
+    the test fast; the trigger logic and the train-on-generated-data path are
+    the real thing."""
+    import crosstalk_tpu.data.synthetic as synthetic
+    from crosstalk_tpu.cli.train import main as train_main
+
+    real_generate = synthetic.generate_dataset
+    calls = {}
+
+    def small_generate(out_dir, num_pairs=100, size=256, seed=0, **kw):
+        calls["args"] = (num_pairs, size, seed)
+        return real_generate(out_dir, num_pairs=12, size=64, seed=seed,
+                             progress_every=0)
+
+    monkeypatch.setattr(synthetic, "generate_dataset", small_generate)
+    monkeypatch.chdir(tmp_path)
+    rc = train_main([
+        "-b", "4", "-n", "1", "-o", "single", "-r", "aggressive_plateau",
+        "--compute_dtype", "f32", "--num_devices", "1",
+    ])
+    assert rc == 0
+    assert calls["args"] == (100, 256, 0)  # the real quickstart parameters
+    assert len(list((tmp_path / "Training_Data" / "Mixed").glob("*.tif"))) == 12
+    assert len(list((tmp_path / "Training_Data" / "Source").glob("*.tif"))) == 12
+    assert list(tmp_path.glob("training_run_*"))
+
+    # a second zero-flag run reuses the dataset (no regeneration)
+    def fail_generate(*a, **kw):
+        raise AssertionError("dataset regenerated despite existing")
+
+    monkeypatch.setattr(synthetic, "generate_dataset", fail_generate)
+    rc = train_main([
+        "-b", "4", "-n", "1", "-o", "single", "-r", "aggressive_plateau",
+        "--compute_dtype", "f32", "--num_devices", "1",
+    ])
+    assert rc == 0

@@ -12,10 +12,8 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from crosstalk_tpu.data.tiff import write_tile  # noqa: E402
+from crosstalk_tpu.data.synthetic import generate_dataset  # noqa: E402
 
 
 def main(argv=None) -> int:
@@ -26,28 +24,7 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
-    mixed_dir = os.path.join(args.out_dir, "Mixed")
-    source_dir = os.path.join(args.out_dir, "Source")
-    os.makedirs(mixed_dir, exist_ok=True)
-    os.makedirs(source_dir, exist_ok=True)
-
-    rng = np.random.default_rng(args.seed)
-    for i in range(args.num_pairs):
-        image_id = 100000 + i
-        alpha = round(float(rng.uniform(0.01, 0.5)), 2)
-        # blobby microscopy-ish structure: smoothed noise
-        def field():
-            base = rng.random((args.size // 8, args.size // 8))
-            return np.kron(base, np.ones((8, 8)))[: args.size, : args.size]
-
-        source = field() + 0.05 * rng.random((args.size, args.size))
-        other = field() + 0.05 * rng.random((args.size, args.size))
-        mixed = other + alpha * source
-        name = f"image_{image_id}_alpha_{alpha}"
-        write_tile(os.path.join(mixed_dir, f"{name}_mixed.tif"), mixed)
-        write_tile(os.path.join(source_dir, f"{name}_source.tif"), source)
-        if (i + 1) % 500 == 0:
-            print(f"{i + 1}/{args.num_pairs}", flush=True)
+    generate_dataset(args.out_dir, args.num_pairs, args.size, args.seed)
     print(f"Wrote {args.num_pairs} pairs under {args.out_dir}")
     return 0
 

@@ -41,6 +41,13 @@ def main(argv=None) -> int:
     ap.add_argument("--seconds", type=float, default=20.0)
     ap.add_argument("--image_size", type=int, default=256)
     ap.add_argument("--parity", action="store_true")
+    ap.add_argument("--transport_dtype", default="float32",
+                    choices=["float32", "float16"],
+                    help="Device-batch dtype (float16 halves H2D bytes)")
+    ap.add_argument("--client_dtype", default=None,
+                    choices=["float32", "float16"],
+                    help="Client payload dtype (float16 halves HTTP bytes);"
+                         " default: the transport dtype")
     args = ap.parse_args(argv)
 
     import jax
@@ -65,13 +72,16 @@ def main(argv=None) -> int:
                                image_size=args.image_size)
 
     print(f"Compiling (batch {args.batch_size}, "
-          f"{'f32' if args.parity else 'bf16'})...", file=sys.stderr)
+          f"{'f32' if args.parity else 'bf16'}, "
+          f"{args.transport_dtype} transport)...", file=sys.stderr)
     predict = make_predictor(variables, cfg, args.batch_size,
                              image_size=args.image_size,
-                             fast=not args.parity)
+                             fast=not args.parity,
+                             input_dtype=np.dtype(args.transport_dtype))
     server = CrosstalkServer(predict, batch_size=args.batch_size,
                              image_size=args.image_size, port=0,
-                             max_delay_ms=args.max_delay_ms)
+                             max_delay_ms=args.max_delay_ms,
+                             transport_dtype=args.transport_dtype)
     server.start_background()
     host, port = server.address
     client_url = f"http://{host}:{port}"
@@ -88,12 +98,14 @@ def main(argv=None) -> int:
     stop = time.monotonic() + args.seconds
     lock = threading.Lock()
 
+    client_dtype = args.client_dtype or args.transport_dtype
+
     def worker():
         c = CrosstalkClient(client_url)
         n, lats = 0, []
         while time.monotonic() < stop:
             t0 = time.monotonic()
-            out = c.predict(tiles)
+            out = c.predict(tiles, dtype=client_dtype)
             lats.append(time.monotonic() - t0)
             n += out.shape[0]
         with lock:
@@ -125,6 +137,8 @@ def main(argv=None) -> int:
         "batch_occupancy": round(stats.get("mean_batch_occupancy", 0.0), 3),
         "device_busy_frac": round(stats["device_seconds"] / wall, 3),
         "batches": stats["batches"],
+        "transport_dtype": args.transport_dtype,
+        "client_dtype": client_dtype,
     }))
     return 0
 
