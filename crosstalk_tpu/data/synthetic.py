@@ -22,13 +22,22 @@ import numpy as np
 from crosstalk_tpu.data.tiff import write_tile
 
 
-def generate_pair(rng: np.random.Generator, size: int):
-    """-> (mixed, source, alpha): one paired tile with known bleed-through."""
+def generate_pair(rng: np.random.Generator, size: int, block: int = 8):
+    """-> (mixed, source, alpha): one paired tile with known bleed-through.
+
+    ``block`` sets the blob granularity. Alpha identifiability after the
+    per-tile min-max normalization scales with the number of independent
+    blobs (size/block)^2 — the tile-max statistics that set the normalizer
+    concentrate with more blobs. 256px/8 gives a ~1.2e-3 attainable-MSE
+    floor for a simple cross-channel slope feature (R^2 0.94 vs the alpha
+    labels); 64px/8 only ~7.6e-3 (R^2 0.59). Tests that need a learnable
+    task at small tile sizes should shrink ``block`` accordingly.
+    """
     alpha = round(float(rng.uniform(0.01, 0.5)), 2)
 
     def field():
-        base = rng.random((size // 8, size // 8))
-        return np.kron(base, np.ones((8, 8)))[:size, :size]
+        base = rng.random((size // block, size // block))
+        return np.kron(base, np.ones((block, block)))[:size, :size]
 
     source = field() + 0.05 * rng.random((size, size))
     other = field() + 0.05 * rng.random((size, size))
@@ -42,6 +51,7 @@ def generate_dataset(
     seed: int = 0,
     start_id: int = 100000,
     progress_every: int = 500,
+    block: int = 8,
 ) -> tuple:
     """Write ``num_pairs`` paired float64 tiles under ``out_dir`` in the
     reference's exact layout; returns (mixed_dir, source_dir)."""
@@ -52,7 +62,7 @@ def generate_dataset(
 
     rng = np.random.default_rng(seed)
     for i in range(num_pairs):
-        mixed, source, alpha = generate_pair(rng, size)
+        mixed, source, alpha = generate_pair(rng, size, block=block)
         name = f"image_{start_id + i}_alpha_{alpha}"
         write_tile(os.path.join(mixed_dir, f"{name}_mixed.tif"), mixed)
         write_tile(os.path.join(source_dir, f"{name}_source.tif"), source)

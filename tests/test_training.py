@@ -617,3 +617,77 @@ def test_train_cli_quickstart_bootstraps_sample_dataset(tmp_path, monkeypatch):
         "--compute_dtype", "f32", "--num_devices", "1",
     ])
     assert rc == 0
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CROSSTALK_RUN_SLOW"),
+    reason="minutes of CPU conv compute; set CROSSTALK_RUN_SLOW=1 to run",
+)
+def test_convergence_beats_predict_the_mean_baseline():
+    """The framework fits the REAL task — alpha regression on paired tiles
+    through the full pipeline semantics (per-tile min-max normalization,
+    MSE + coupled-L2 Adam, onecycle schedule) — to far below the
+    predict-the-mean baseline: test MSE must land under 0.3x the label
+    variance (measured profile reaches ~0.07x by epoch 30; see
+    TRAINING_RESULTS.md for the full-config receipts on TPU). 64px tiles
+    with block=2 blob granularity give the same analytic identifiability
+    floor (~1.5e-3) as the 256px production shape while staying CPU-sized.
+    Receipt for SURVEY §4's 'statistical sanity' strategy at test level.
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    from crosstalk_tpu.data.index import PairIndex
+    from crosstalk_tpu.data.pipeline import TileStore
+    from crosstalk_tpu.data.synthetic import generate_dataset
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.train.schedules import Schedule
+
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="crosstalk_conv_")
+    generate_dataset(root, num_pairs=600, size=64, seed=11, block=2,
+                     progress_every=0)
+    store = TileStore(
+        PairIndex(os.path.join(root, "Mixed"),
+                  os.path.join(root, "Source")).samples, jobs=1)
+    tiles, labels = store.tiles, store.labels
+    n = len(store)
+    n_train = int(0.8 * n)
+    perm = np.random.default_rng(0).permutation(n)
+    tr, te = perm[:n_train], perm[n_train:]
+    label_var = float(np.var(labels[te]))
+
+    cfg = ModelConfig(variant="single", initial_filters=16,
+                      num_conv_blocks=4, compute_dtype="f32",
+                      dropout_single=0.0)
+    model = build_model(cfg)
+    variables = init_model(model, jax.random.key(0), image_size=64)
+    optim_cfg = OptimConfig(learning_rate=5e-4, scheduler="onecycle")
+    tx = make_optimizer(optim_cfg)
+    state = init_train_state(model, variables, tx)
+    step = make_train_step(model, tx)
+
+    bs, epochs = 32, 30
+    steps_per_epoch = n_train // bs
+    sched = Schedule(optim_cfg, epochs, steps_per_epoch)
+    g = 0
+    rng = np.random.default_rng(1)
+    for _ in range(epochs):
+        order = rng.permutation(n_train)
+        for s in range(steps_per_epoch):
+            b = np.sort(tr[order[s * bs:(s + 1) * bs]])
+            state, _ = step(
+                state, jnp.asarray(tiles[b]), jnp.asarray(labels[b]),
+                np.float32(sched.lr_for_step(g)),
+                jax.random.fold_in(jax.random.key(2), g))
+            g += 1
+
+    preds = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        normalize_batch_nhwc(jnp.asarray(tiles[te])), train=False)
+    test_mse = float(np.mean((np.asarray(preds) - labels[te]) ** 2))
+    assert test_mse < 0.3 * label_var, (
+        f"test MSE {test_mse:.4f} does not beat predict-the-mean "
+        f"(label variance {label_var:.4f}) by the required margin")

@@ -29,6 +29,14 @@ def main(argv=None) -> int:
     parser.add_argument("-b", "--batch_size", type=int, default=128)
     parser.add_argument("--epochs", type=int, default=2)
     parser.add_argument("--keep", action="store_true")
+    parser.add_argument("--data_dir", default=None,
+                        help="Reuse an existing generated dataset directory "
+                             "(skips generation; implies --keep)")
+    parser.add_argument("--feed_only", action="store_true",
+                        help="Measure the HOST pipeline's batch-production "
+                             "rate (memmap reads + batch assembly, no "
+                             "device) — the rate that must exceed the "
+                             "chip's ~5k tiles/s consumption")
     args = parser.parse_args(argv)
 
     import jax
@@ -45,20 +53,52 @@ def main(argv=None) -> int:
     )
     from tools.make_dataset import main as make_dataset
 
-    root = tempfile.mkdtemp(prefix="crosstalk_scale_")
+    if args.data_dir:
+        root = args.data_dir
+        args.keep = True
+        os.makedirs(root, exist_ok=True)
+    else:
+        root = tempfile.mkdtemp(prefix="crosstalk_scale_")
     try:
-        print(f"Generating {args.num_pairs} pairs under {root} ...")
-        t0 = time.perf_counter()
-        make_dataset([root, "-n", str(args.num_pairs)])
-        print(f"  generated in {time.perf_counter() - t0:.1f}s")
+        if not os.path.isdir(os.path.join(root, "Mixed")):
+            print(f"Generating {args.num_pairs} pairs under {root} ...")
+            t0 = time.perf_counter()
+            make_dataset([root, "-n", str(args.num_pairs)])
+            print(f"  generated in {time.perf_counter() - t0:.1f}s")
 
         index = PairIndex(os.path.join(root, "Mixed"), os.path.join(root, "Source"))
+        cache_path = os.path.join(root, "cache")
+        cold = not os.path.isdir(cache_path) or not os.listdir(cache_path)
         t0 = time.perf_counter()
-        store = TileStore(index.samples, jobs=8, cache_dir=os.path.join(root, "cache"))
+        store = TileStore(index.samples, jobs=8, cache_dir=cache_path)
         dt = time.perf_counter() - t0
-        print(f"cold cache build: {len(store)} pairs in {dt:.1f}s "
-              f"({2 * len(store) / dt:,.0f} tiles/s; one-time cost, usually "
-              f"disk-writeback-bound - warm decode is ~2-5k tiles/s/core)")
+        cache_gb = store.tiles.nbytes / 1e9
+        print(f"{'cold' if cold else 'warm'} cache build: {len(store)} pairs "
+              f"in {dt:.1f}s ({2 * len(store) / dt:,.0f} tiles/s; "
+              f"cache {cache_gb:.1f} GB"
+              + ("; one-time cost, usually disk-writeback-bound - warm "
+                 "decode is ~2-5k tiles/s/core)" if cold else ")"))
+
+        if args.feed_only:
+            # host-pipeline production rate: the full iterate_batches path
+            # (memmapped reads, shuffle gather, pad/mask assembly) consumed
+            # as fast as the host can produce it. This is the feeding rate
+            # that must exceed the chip's ~5k tiles/s; the device link is
+            # probed separately below when a device is present.
+            sink = 0.0
+            for epoch in range(args.epochs):
+                t0 = time.perf_counter()
+                n = 0
+                for batch in iterate_batches(store, args.batch_size,
+                                             shuffle=True, drop_last=True,
+                                             seed=1, epoch=epoch):
+                    sink += float(batch.inputs[0, 0, 0, 0]) + float(batch.labels[0, 0])
+                    n += args.batch_size
+                dt = time.perf_counter() - t0
+                print(f"feed epoch {epoch}: {n} tiles in {dt:.1f}s -> "
+                      f"{n / dt:,.0f} tiles/s host-pipeline production")
+            print(f"(sink {sink:.3f})")
+            return 0
 
         # isolate the host->device link (through this environment's TPU
         # relay it can be ~50 MB/s vs 10-30 GB/s PCIe on a real TPU host —
