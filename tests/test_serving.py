@@ -478,7 +478,8 @@ def test_serve_cli_flag_validation(tmp_path, capsys):
 
 def test_serve_cli_subprocess(tmp_path):
     """Full CLI drive: load a real torch .pth (full-width single model at
-    64px), serve it, query it over HTTP, compare against the torch twin."""
+    64px), serve it with the float16 transport, query it over HTTP, compare
+    against the torch twin within the f16 quantization budget."""
     torch = pytest.importorskip("torch")
     from tests.torch_ref import TorchSingle, burn_in_batch_stats
 
@@ -491,7 +492,7 @@ def test_serve_cli_subprocess(tmp_path):
     proc = subprocess.Popen(
         [sys.executable, "-m", "crosstalk_tpu.cli.serve",
          "-p", ckpt, "-o", "single", "--port", "0", "--image_size", "64",
-         "--batch_size", "4", "--parity"],
+         "--batch_size", "4", "--parity", "--transport_dtype", "float16"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     try:
@@ -519,7 +520,8 @@ def test_serve_cli_subprocess(tmp_path):
             golden = tmodel(
                 torch.from_numpy(norm.transpose(0, 3, 1, 2))
             ).numpy().ravel()
-        np.testing.assert_allclose(out["alpha"], golden, rtol=1e-4, atol=1e-4)
+        # f16 transport: within the quantization budget of the torch golden
+        np.testing.assert_allclose(out["alpha"], golden, atol=2e-3)
 
         # SIGTERM drains gracefully: exit 0, shutdown message printed
         proc.terminate()
