@@ -406,8 +406,10 @@ def main(argv=None) -> int:
     suffix = f"{ts2}_{args.batch_size}_{args.learning_rate}"
     for split in ("test", "train", "val"):
         print(f"\n--- Evaluating Model on {split.capitalize()} Set ---")
+        # device-resident runs evaluate from HBM too (one upload per split)
+        eval_store = DeviceDataset(stores[split]) if device_data else stores[split]
         evaluate_and_save(
-            eval_model, loaded, stores[split],
+            eval_model, loaded, eval_store,
             dataset_name=split, output_dir=run_dir, ts=ts2,
             batch_size=min(batch_size, 256),
             with_metrics=False, train_suffix=suffix,

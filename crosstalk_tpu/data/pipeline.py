@@ -223,6 +223,9 @@ class DeviceDataset:
             )
         )
 
+    def __len__(self) -> int:
+        return self.n
+
     @staticmethod
     def nbytes(store: TileStore) -> int:
         """Device-memory footprint of residency for this store."""

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from crosstalk_tpu.data.pipeline import (
+    DeviceDataset,
     TileStore,
     device_prefetch,
     iterate_batches,
@@ -90,6 +91,10 @@ def evaluate(
     mesh's 'data' axis (variables replicated) and GSPMD partitions the
     forward + metrics across chips — per-sample outputs and CSV order are
     unchanged. ``batch_size`` is rounded to a multiple of the mesh size.
+
+    ``store`` may be a ``DeviceDataset`` (HBM-resident): batches are then
+    on-device gathers with no per-batch host->device transfer
+    (single-device only — pass a TileStore when evaluating over a mesh).
     """
     apply_fn = forward_fn or _default_forward(model)
 
@@ -97,6 +102,13 @@ def evaluate(
     total_sq_err = 0.0
     total_n = 0
     batch_size = min(batch_size, max(1, len(store)))
+
+    resident = isinstance(store, DeviceDataset)
+    if resident and mesh is not None and mesh.size > 1:
+        raise ValueError(
+            "DeviceDataset evaluation is single-device; pass a TileStore "
+            "for mesh-sharded evaluation"
+        )
 
     sharding = None
     if mesh is not None and mesh.size > 1:
@@ -107,7 +119,12 @@ def evaluate(
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
 
     multihost = jax.process_count() > 1 and sharding is not None
-    batches = device_prefetch(iterate_batches(store, batch_size), sharding=sharding)
+    if resident:
+        batches = store.batches(batch_size)
+    else:
+        batches = device_prefetch(
+            iterate_batches(store, batch_size), sharding=sharding
+        )
     if desc is not None:
         batches = progress(batches, desc=desc,
                            total=num_batches(len(store), batch_size))

@@ -269,3 +269,35 @@ def test_train_loop_device_data_rejects_mesh(synthetic_data_dirs, tmp_path):
             TrainConfig(batch_size=8, num_epochs=1), str(tmp_path), "ts",
             "single", tx, mesh=data_mesh(2), seed=3, device_data=True,
         )
+
+
+def test_evaluate_device_dataset_matches_tilestore(synthetic_data_dirs):
+    """eval/engine.evaluate over a DeviceDataset (HBM-resident batching)
+    returns identical rows/loss to the TileStore host path, with and
+    without the classical metrics."""
+    import jax
+
+    from crosstalk_tpu.config import ModelConfig
+    from crosstalk_tpu.data.pipeline import DeviceDataset
+    from crosstalk_tpu.eval.engine import evaluate
+    from crosstalk_tpu.models import build_model, init_model
+
+    mixed_dir, source_dir = synthetic_data_dirs
+    index = PairIndex(mixed_dir, source_dir)
+    store = TileStore(index.samples, jobs=1)
+    cfg = ModelConfig(variant="single", initial_filters=4, num_conv_blocks=2,
+                      compute_dtype="f32")
+    model = build_model(cfg)
+    variables = init_model(model, jax.random.key(0), image_size=32)
+
+    for with_metrics in (False, True):
+        rows_h, loss_h = evaluate(model, variables, store, batch_size=5,
+                                  with_metrics=with_metrics)
+        rows_d, loss_d = evaluate(model, variables, DeviceDataset(store),
+                                  batch_size=5, with_metrics=with_metrics)
+        assert loss_h == loss_d
+        assert len(rows_h) == len(rows_d) == len(store)
+        for rh, rd in zip(rows_h, rows_d):
+            assert rh.keys() == rd.keys()
+            for k in rh:
+                np.testing.assert_array_equal(rh[k], rd[k], err_msg=k)
