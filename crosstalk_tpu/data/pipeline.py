@@ -147,6 +147,7 @@ def iterate_batches(
     drop_last: bool = False,
     seed: int = 0,
     epoch: int = 0,
+    assembly_threads: int = 4,
 ) -> Iterator[Batch]:
     """Yield host batches from a TileStore.
 
@@ -156,6 +157,15 @@ def iterate_batches(
     train loader (train_model.py:613). Unlike the reference we do NOT drop
     the last val/test batch (its drop_last=True on eval loaders silently
     discards entire small splits — train_model.py:622,631).
+
+    Batch assembly strategy (measured on a 20k-pair / 10.5 GB memmapped
+    cache, see PERF_NOTES "IDR-scale host pipeline"): rows are copied in
+    SORTED-source order into their shuffled destination slots — identical
+    output, but the memmap is walked monotonically, which turns random
+    page-cache/disk access into sequential (~2.8x). ``assembly_threads``
+    additionally overlaps page-fault stalls (another ~1.6x on one core;
+    scales with cores on real hosts). Output is bit-identical to the naive
+    row loop in all cases.
     """
     n = len(store)
     order = np.arange(n)
@@ -163,23 +173,40 @@ def iterate_batches(
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
         rng.shuffle(order)
 
-    end = (n // batch_size) * batch_size if drop_last else n
-    for start in range(0, end, batch_size):
-        idx = order[start : start + batch_size]
-        real = len(idx)
-        if real < batch_size:  # pad-and-mask the tail
-            pad = np.zeros(batch_size - real, dtype=idx.dtype)
-            idx = np.concatenate([idx, pad])
-        # row-wise copy: numpy fancy-indexing on a memmap degrades to
-        # per-element gathers (~4x slower than contiguous row memcpys)
-        inputs = np.empty((batch_size, *store.tiles.shape[1:]), np.float32)
-        for j, i in enumerate(idx):
-            inputs[j] = store.tiles[i]
-        labels = store.labels[idx]
-        ids = store.ids[idx]
-        mask = np.zeros(batch_size, dtype=np.float32)
-        mask[:real] = 1.0
-        yield Batch(inputs, labels, ids, mask)
+    pool = (
+        cf.ThreadPoolExecutor(assembly_threads)
+        if assembly_threads > 1 else None
+    )
+    try:
+        end = (n // batch_size) * batch_size if drop_last else n
+        for start in range(0, end, batch_size):
+            idx = order[start : start + batch_size]
+            real = len(idx)
+            if real < batch_size:  # pad-and-mask the tail
+                pad = np.zeros(batch_size - real, dtype=idx.dtype)
+                idx = np.concatenate([idx, pad])
+            # row-wise copies (numpy fancy-indexing on a memmap degrades to
+            # per-element gathers), walked in sorted-source order
+            inputs = np.empty((batch_size, *store.tiles.shape[1:]), np.float32)
+            src_sorted = np.argsort(idx, kind="stable")
+
+            def copy_rows(dsts):
+                for j in dsts:
+                    inputs[j] = store.tiles[idx[j]]
+
+            if pool is None:
+                copy_rows(src_sorted)
+            else:
+                chunks = np.array_split(src_sorted, assembly_threads)
+                list(pool.map(copy_rows, chunks))
+            labels = store.labels[idx]
+            ids = store.ids[idx]
+            mask = np.zeros(batch_size, dtype=np.float32)
+            mask[:real] = 1.0
+            yield Batch(inputs, labels, ids, mask)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 def num_batches(n: int, batch_size: int, drop_last: bool = False) -> int:
