@@ -52,3 +52,4 @@ def test_progress_wraps_and_preserves_items():
 
     items = list(progress(iter([1, 2, 3]), desc="Test Set Evaluation", total=3))
     assert items == [1, 2, 3]
+
