@@ -457,6 +457,70 @@ def test_http_error_with_unread_body_closes_connection(running_server):
         conn.close()
 
 
+def test_remote_eval_cli(tmp_path, tiny_model):
+    """The remote-eval CLI scores a TIFF directory against a live server
+    and writes the eval_run_{ts} contract; predictions must match a direct
+    local forward within the f16 payload budget."""
+    from crosstalk_tpu.cli.remote_eval import main as remote_eval_main
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.serve.predictor import make_predictor
+    from crosstalk_tpu.serve.server import CrosstalkServer
+    from tests.conftest import make_synthetic_dataset
+
+    cfg, model, variables = tiny_model
+    mixed_dir, source_dir = make_synthetic_dataset(str(tmp_path / "data"))
+
+    predict = make_predictor(variables, cfg, batch_size=4, image_size=32,
+                             fast=False)
+    server = CrosstalkServer(predict, batch_size=4, image_size=32, port=0,
+                             max_delay_ms=2.0)
+    server.start_background()
+    try:
+        host, port = server.address
+        out = tmp_path / "out"
+        out.mkdir()
+        rc = remote_eval_main([
+            "-m", mixed_dir, "-s", source_dir,
+            "--url", f"http://{host}:{port}",
+            "-o", str(out), "--request_tiles", "5", "-j", "1",
+        ])
+        assert rc == 0
+        (run_dir,) = list(out.glob("eval_run_*"))
+        assert (run_dir / "params.txt").exists()
+        (csv_path,) = list(run_dir.glob("test_predictions_*.csv"))
+        assert list(run_dir.glob("test_predictions_plot_*.png"))
+
+        import csv as csv_mod
+
+        with open(csv_path) as f:
+            rows = list(csv_mod.DictReader(f))
+        assert list(rows[0].keys()) == [
+            "Image_ID", "Actual_Label", "Predicted_Label"]
+
+        from crosstalk_tpu.data.index import PairIndex
+        from crosstalk_tpu.data.pipeline import TileStore
+
+        store = TileStore(PairIndex(mixed_dir, source_dir).samples, jobs=1)
+        assert len(rows) == len(store)
+        golden = np.asarray(model.apply(
+            variables,
+            normalize_batch_nhwc(np.asarray(store.tiles, np.float32)),
+            train=False))[:, 0]
+        got = np.array([float(r["Predicted_Label"]) for r in rows])
+        np.testing.assert_allclose(got, golden, atol=2e-3)  # f16 payload
+        ids = [int(r["Image_ID"]) for r in rows]
+        assert ids == [int(i) for i in store.ids]
+
+        # unreachable server -> clean error, not a traceback
+        rc = remote_eval_main([
+            "-m", mixed_dir, "-s", source_dir,
+            "--url", "http://127.0.0.1:9", "-o", str(out),
+        ])
+        assert rc == 1
+    finally:
+        server.shutdown()
+
+
 def test_serve_cli_flag_validation(tmp_path, capsys):
     from crosstalk_tpu.cli.serve import main as serve_main
 
