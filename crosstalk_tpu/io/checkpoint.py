@@ -24,8 +24,11 @@ inspect and to keep byte-stable. If multi-host training is ever added
 
 from __future__ import annotations
 
+import copy
 import json
 import os
+import queue
+import threading
 from typing import Optional, Tuple
 
 from flax import serialization
@@ -33,6 +36,18 @@ from flax import serialization
 CKPT_DIR = "checkpoints"
 STATE_FILE = "train_state.msgpack"
 META_FILE = "train_meta.json"
+
+_TREE_COPY = None  # lazily-built jitted pytree copy (one executable, reused)
+
+
+def _device_tree_copy(tree):
+    global _TREE_COPY
+    if _TREE_COPY is None:
+        import jax
+        import jax.numpy as jnp
+
+        _TREE_COPY = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+    return _TREE_COPY(tree)
 
 
 def save_checkpoint(run_dir: str, state, meta: dict) -> str:
@@ -53,6 +68,99 @@ def save_checkpoint(run_dir: str, state, meta: dict) -> str:
         json.dump(meta, f, indent=1)
     os.replace(tmp, meta_path)
     return ckpt_dir
+
+
+class AsyncCheckpointWriter:
+    """Overlap checkpoint D2H + serialization + disk writes with training.
+
+    A synchronous ``save_checkpoint`` blocks the epoch loop for the whole
+    device→host fetch + msgpack serialize + disk write (~1-2 s/epoch on a
+    real TPU host for the 137M-param state; ~15-45 s/epoch through this dev
+    environment's device relay — PERF_NOTES.md) — all of it dead time
+    between epochs. This writer hides it: each ``submit_*`` snapshots the
+    pytree on device (ONE jitted buffer-copy program — the live training
+    buffers, which the next donated train step will overwrite in place, are
+    never read again after submit returns) and a background thread performs
+    the fetch + serialization + atomic file write while the next epoch
+    trains.
+
+    Backpressure: at most ``max_pending`` jobs queue (a snapshot holds at
+    most one extra copy of the state in HBM each); a further submit blocks
+    until the writer catches up. ``wait()`` blocks until everything
+    submitted is durable — call it before reading a checkpoint back or
+    returning from the training loop. Writer-thread exceptions re-raise on
+    the next submit or wait. File formats and atomicity (tmp + rename) are
+    identical to the synchronous functions.
+    """
+
+    def __init__(self, max_pending: int = 1):
+        self._jobs: "queue.Queue" = queue.Queue(maxsize=max_pending)
+        self._exc: Optional[BaseException] = None
+        self._exc_lock = threading.Lock()
+        self._thread = threading.Thread(
+            target=self._run, name="ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+    # -- worker ----------------------------------------------------------
+    def _run(self):
+        while True:
+            job = self._jobs.get()
+            try:
+                if job is None:
+                    return
+                job()
+            except BaseException as e:  # surfaced on next submit/wait
+                with self._exc_lock:
+                    self._exc = e
+            finally:
+                self._jobs.task_done()
+
+    def _raise_pending(self):
+        with self._exc_lock:
+            exc, self._exc = self._exc, None
+        if exc is not None:
+            raise RuntimeError("async checkpoint write failed") from exc
+
+    @staticmethod
+    def _snapshot(tree):
+        """Copy a pytree of device arrays into fresh device buffers.
+
+        One jitted program (one dispatch, copies every leaf); outputs of a
+        non-donated jit never alias its inputs, so the snapshot is immune to
+        the train step's in-place (donated) buffer reuse.
+        """
+        return _device_tree_copy(tree)
+
+    # -- API -------------------------------------------------------------
+    def submit_checkpoint(self, run_dir: str, state, meta: dict) -> None:
+        """Async ``save_checkpoint``; ``meta`` is deep-copied at call time."""
+        self._raise_pending()
+        snap = self._snapshot(state)
+        meta = copy.deepcopy(meta)
+        self._jobs.put(lambda: save_checkpoint(run_dir, snap, meta))
+
+    def submit_pth(self, path: str, variables: dict, variant: str) -> None:
+        """Async ``torch_convert.save_pth`` (best-model .pth interop)."""
+        from crosstalk_tpu.io.torch_convert import save_pth
+
+        self._raise_pending()
+        snap = self._snapshot(variables)
+        self._jobs.put(lambda: save_pth(path, snap, variant))
+
+    def wait(self) -> None:
+        """Block until every submitted write is durable; raise on failure."""
+        self._jobs.join()
+        self._raise_pending()
+
+    def close(self, raise_errors: bool = True) -> None:
+        """Drain outstanding writes and stop the worker thread."""
+        if self._thread.is_alive():
+            self._jobs.join()
+            self._jobs.put(None)
+            self._thread.join()
+        if raise_errors:
+            self._raise_pending()
 
 
 def load_checkpoint(run_dir: str, state_template) -> Optional[Tuple[object, dict]]:

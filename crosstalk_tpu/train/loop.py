@@ -15,7 +15,11 @@ Documented divergences from the reference:
   * validation evaluates every sample via pad-and-mask instead of
     drop_last=True.
   * every epoch writes a full native resume checkpoint (params + optimizer +
-    scheduler + RNG), which the reference lacks entirely.
+    scheduler + RNG), which the reference lacks entirely. Checkpoint and
+    best-model writes are asynchronous (io/checkpoint.AsyncCheckpointWriter):
+    the state is snapshotted on device and fetched/serialized/written by a
+    background thread while the next epoch trains, so checkpoint I/O costs
+    ~zero epoch wall time; everything is durable before train_model returns.
 """
 
 from __future__ import annotations
@@ -34,7 +38,6 @@ from crosstalk_tpu.data.pipeline import (
     num_batches,
 )
 from crosstalk_tpu.io import artifacts, checkpoint
-from crosstalk_tpu.io.torch_convert import save_pth
 from crosstalk_tpu.train.schedules import Schedule
 from crosstalk_tpu.utils.profiling import Throughput
 from crosstalk_tpu.utils.progress import progress
@@ -184,6 +187,12 @@ def train_model(
         resume_from_epoch=start_epoch if resume else None,
     ) if primary else artifacts.NullTrainingLog()
 
+    # Checkpoint writes (native resume + best-model .pth) overlap the next
+    # epoch's compute: submit_* snapshots the state on device (safe against
+    # the donated train step's in-place buffer reuse) and a background
+    # thread does the D2H fetch + serialize + atomic write.
+    writer = checkpoint.AsyncCheckpointWriter() if primary else None
+
     meter = Throughput()
     for epoch in range(start_epoch, train_cfg.num_epochs):
         lr_history.append(schedule.lr_for_step(global_step))
@@ -241,7 +250,7 @@ def train_model(
             epochs_without_improvement = 0
             if primary:
                 best_path = f"{run_dir}/best_model_{schedule.scheduler_type}.pth"
-                save_pth(
+                writer.submit_pth(
                     best_path,
                     {"params": state.params, "batch_stats": state.batch_stats},
                     model_variant,
@@ -264,7 +273,7 @@ def train_model(
         if primary and (
             (epoch + 1) % ckpt_every == 0 or epoch + 1 == train_cfg.num_epochs
         ):
-            checkpoint.save_checkpoint(
+            writer.submit_checkpoint(
                 run_dir,
                 state,
                 {
@@ -287,6 +296,10 @@ def train_model(
                 )
             break
 
+    if writer is not None:
+        # every submitted write durable (and any writer error raised) before
+        # the caller reloads/evaluates artifacts
+        writer.close()
     log.close()
     if primary:
         artifacts.plot_lr_schedule(run_dir, lr_history, schedule.scheduler_type)

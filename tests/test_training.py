@@ -294,6 +294,97 @@ def test_checkpoint_roundtrip(tmp_path):
     assert load_checkpoint(str(tmp_path / "nope"), template) is None
 
 
+def test_async_checkpoint_writer_matches_sync(tmp_path):
+    """AsyncCheckpointWriter writes the identical artifacts to the sync
+    functions, snapshots decouple from later state mutation, and writer
+    errors surface on wait()."""
+    from crosstalk_tpu.io.checkpoint import (
+        AsyncCheckpointWriter, load_checkpoint, save_checkpoint,
+    )
+
+    model = build_model(SMALL)
+    state, _ = _make_state(model)
+    meta = {"epoch": 1, "global_step": 4, "best_val_loss": 0.7,
+            "epochs_without_improvement": 0, "train_losses": [1.0],
+            "val_losses": [1.1], "lr_history": [1e-4],
+            "schedule": {"epoch": 1}}
+
+    sync_dir, async_dir = tmp_path / "sync", tmp_path / "async"
+    sync_dir.mkdir(), async_dir.mkdir()
+    save_checkpoint(str(sync_dir), state, meta)
+
+    writer = AsyncCheckpointWriter()
+    try:
+        writer.submit_checkpoint(str(async_dir), state, meta)
+        # the snapshot must be a fresh buffer, not an alias of the live
+        # state (the next donated train step overwrites the live one); and
+        # mutating the submitted meta after the call must not leak in
+        meta["train_losses"].append(999.0)
+        writer.wait()
+    finally:
+        writer.close(raise_errors=False)
+
+    sync_bytes = (sync_dir / "checkpoints" / "train_state.msgpack").read_bytes()
+    async_bytes = (async_dir / "checkpoints" / "train_state.msgpack").read_bytes()
+    assert sync_bytes == async_bytes
+    template, _ = _make_state(model, seed=1)
+    _, rmeta = load_checkpoint(str(async_dir), template)
+    assert rmeta["train_losses"] == [1.0]  # deep-copied at submit time
+
+    # snapshot leaves live in distinct buffers from the source state
+    from crosstalk_tpu.io.checkpoint import _device_tree_copy
+    snap = _device_tree_copy(state)
+    src = jax.tree.leaves(state.params)[0]
+    dst = jax.tree.leaves(snap.params)[0]
+    assert src.unsafe_buffer_pointer() != dst.unsafe_buffer_pointer()
+
+    # error propagation: run_dir path collides with an existing FILE
+    bad = tmp_path / "not_a_dir"
+    bad.write_text("x")
+    writer2 = AsyncCheckpointWriter()
+    try:
+        writer2.submit_checkpoint(str(bad), state, meta)
+        with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+            writer2.wait()
+    finally:
+        writer2.close(raise_errors=False)
+
+
+def test_async_checkpoint_writer_pth(tmp_path):
+    """submit_pth produces a .pth byte-loadable by torch with the submitted
+    (not later-mutated) parameter values."""
+    import torch
+
+    from crosstalk_tpu.io.checkpoint import AsyncCheckpointWriter
+
+    model = build_model(SMALL)
+    state, _ = _make_state(model)
+    expect = np.asarray(jax.tree.leaves(state.params)[0])
+
+    writer = AsyncCheckpointWriter()
+    try:
+        writer.submit_pth(
+            str(tmp_path / "best.pth"),
+            {"params": state.params, "batch_stats": state.batch_stats},
+            "single",
+        )
+        writer.wait()
+    finally:
+        writer.close(raise_errors=False)
+
+    sd = torch.load(str(tmp_path / "best.pth"), map_location="cpu")
+    assert any(k.endswith("weight") for k in sd)
+    # at least one tensor carries the submitted values (conv kernel, OIHW
+    # in torch vs HWIO here — compare via sorted bytes to stay layout-proof)
+    flat = np.sort(expect, axis=None)
+    match = any(
+        v.numel() == flat.size
+        and np.allclose(np.sort(v.numpy(), axis=None), flat)
+        for v in sd.values()
+    )
+    assert match
+
+
 def test_training_log_resume_trims_crashed_rows(tmp_path):
     """Resume keeps rows <= the restored epoch and drops later (pre-crash)
     rows; a fresh log still writes the 4 metadata rows + header."""
