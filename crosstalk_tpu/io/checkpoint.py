@@ -94,6 +94,10 @@ class AsyncCheckpointWriter:
     """
 
     def __init__(self, max_pending: int = 1):
+        # escape hatch (debugging / A-B measurement): CROSSTALK_SYNC_CKPT=1
+        # makes every submit_* block until its write is durable, restoring
+        # the synchronous behavior with identical artifacts
+        self._sync = os.environ.get("CROSSTALK_SYNC_CKPT", "") == "1"
         self._jobs: "queue.Queue" = queue.Queue(maxsize=max_pending)
         self._exc: Optional[BaseException] = None
         self._exc_lock = threading.Lock()
@@ -139,6 +143,8 @@ class AsyncCheckpointWriter:
         snap = self._snapshot(state)
         meta = copy.deepcopy(meta)
         self._jobs.put(lambda: save_checkpoint(run_dir, snap, meta))
+        if self._sync:
+            self.wait()
 
     def submit_pth(self, path: str, variables: dict, variant: str) -> None:
         """Async ``torch_convert.save_pth`` (best-model .pth interop)."""
@@ -147,6 +153,8 @@ class AsyncCheckpointWriter:
         self._raise_pending()
         snap = self._snapshot(variables)
         self._jobs.put(lambda: save_pth(path, snap, variant))
+        if self._sync:
+            self.wait()
 
     def wait(self) -> None:
         """Block until every submitted write is durable; raise on failure."""

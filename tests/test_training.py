@@ -350,6 +350,28 @@ def test_async_checkpoint_writer_matches_sync(tmp_path):
         writer2.close(raise_errors=False)
 
 
+def test_async_writer_sync_escape_hatch(tmp_path, monkeypatch):
+    """CROSSTALK_SYNC_CKPT=1 makes submit_* durable before returning."""
+    from crosstalk_tpu.io.checkpoint import (
+        AsyncCheckpointWriter, load_checkpoint,
+    )
+
+    monkeypatch.setenv("CROSSTALK_SYNC_CKPT", "1")
+    model = build_model(SMALL)
+    state, _ = _make_state(model)
+    meta = {"epoch": 1, "global_step": 1, "best_val_loss": 1.0,
+            "epochs_without_improvement": 0, "train_losses": [1.0],
+            "val_losses": [1.0], "lr_history": [1e-4], "schedule": {}}
+    writer = AsyncCheckpointWriter()
+    try:
+        writer.submit_checkpoint(str(tmp_path), state, meta)
+        # durable NOW, with no wait() call
+        template, _ = _make_state(model, seed=1)
+        assert load_checkpoint(str(tmp_path), template) is not None
+    finally:
+        writer.close(raise_errors=False)
+
+
 def test_async_checkpoint_writer_pth(tmp_path):
     """submit_pth produces a .pth byte-loadable by torch with the submitted
     (not later-mutated) parameter values."""
