@@ -351,3 +351,90 @@ def test_multistep_training_trajectory_matches_torch():
         model, {"params": state.params, "batch_stats": state.batch_stats},
         norm_eval)
     np.testing.assert_allclose(ours, _torch_eval(tmodel, norm_eval), atol=1e-4)
+
+
+def test_multistep_training_trajectory_matches_torch_double():
+    """Same assembled-semantics comparison for the TWO-BRANCH family (the
+    split-branch forward, concat, sigmoid*0.5 head — two_branch_regression.py:
+    85-100): 6 steps of identical init/batches against torch, dropout off.
+    The single-branch test pins the shared machinery; this pins what is
+    unique to C10 — per-branch BN momentum under the channel split and the
+    gradient path through the scaled sigmoid."""
+    from crosstalk_tpu.config import OptimConfig
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.train.steps import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from tests.torch_ref import TorchDouble
+
+    torch.manual_seed(57)
+    tmodel = TorchDouble(filters_per_branch=4, image_size=32)
+    tmodel.train()
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.eval()
+    opt = torch.optim.Adam(tmodel.parameters(), lr=1e-3, weight_decay=1e-4)
+
+    variables = torch_to_flax(tmodel.state_dict(), "double")
+    cfg = ModelConfig(variant="double", initial_filters_per_branch=4,
+                      compute_dtype="f32", dropout_double=0.0)
+    model = build_model(cfg)
+    tx = make_optimizer(OptimConfig(weight_decay=1e-4))
+    state = init_train_state(model, variables, tx)
+    train_step = make_train_step(model, tx, mesh=None, augment=False)
+
+    lrs = [1e-3, 1e-3, 3e-4, 3e-4, 9e-5, 9e-5]
+    rng = np.random.default_rng(58)
+    key = jax.random.PRNGKey(0)
+    for step, lr in enumerate(lrs):
+        raw = (rng.random((8, 32, 32, 2)) * 1800 + 100).astype(np.float32)
+        y = rng.uniform(0, 0.5, (8, 1)).astype(np.float32)
+        norm = np.asarray(normalize_batch_nhwc(jnp.asarray(raw)))
+
+        state, loss_j = train_step(
+            state, jnp.asarray(raw), jnp.asarray(y), jnp.float32(lr), key
+        )
+
+        for g in opt.param_groups:
+            g["lr"] = lr
+        xt = torch.from_numpy(np.ascontiguousarray(norm.transpose(0, 3, 1, 2)))
+        opt.zero_grad()
+        loss_t = torch.nn.MSELoss()(tmodel(xt), torch.from_numpy(y))
+        loss_t.backward()
+        opt.step()
+        np.testing.assert_allclose(
+            float(loss_j), float(loss_t.detach()), rtol=2e-3,
+            err_msg=f"per-step loss diverged at step {step}",
+        )
+
+    # BN-shadowed biases excluded (see the single-branch test's rationale)
+    shadowed = {
+        f"{br}_branch.conv_blocks.{4 * k}.bias"
+        for br in ("bleed", "source") for k in range(4)
+    } | {"regression_head.fc_layers.1.bias", "regression_head.fc_layers.5.bias"}
+    jdict = flax_to_torch(
+        {"params": state.params, "batch_stats": state.batch_stats}, "double"
+    )
+    tdict = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
+             if "num_batches_tracked" not in k}
+    flip_budget = 2 * sum(lrs)
+    compared = 0
+    for key_name, tv in tdict.items():
+        if key_name in shadowed:
+            continue
+        jv = jdict[key_name]
+        tol = flip_budget if "running" not in key_name else 3e-3
+        assert float(np.abs(jv - tv).max()) <= tol, (
+            f"{key_name}: maxdiff {np.abs(jv - tv).max():.3e} > {tol:.3e}")
+        compared += 1
+    assert compared > 40  # both branches + head params and running stats
+
+    tmodel.eval()
+    x_eval = (rng.random((4, 32, 32, 2)) * 1800 + 100).astype(np.float32)
+    norm_eval = np.asarray(normalize_batch_nhwc(jnp.asarray(x_eval)))
+    ours = _flax_eval(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        norm_eval)
+    np.testing.assert_allclose(ours, _torch_eval(tmodel, norm_eval), atol=1e-4)
