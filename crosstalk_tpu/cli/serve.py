@@ -74,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_tiles", type=int, default=4096,
                         help="Reject requests holding more than this many "
                              "decoded tiles")
+    parser.add_argument("--allow_reload", action="store_true",
+                        help="Enable POST /reload {\"model_path\": ...}: "
+                             "zero-downtime checkpoint hot-swap (the new "
+                             ".pth loads and compiles while the old model "
+                             "keeps serving, then batches switch over "
+                             "atomically). Loading a .pth unpickles it — "
+                             "enable only on trusted/admin networks. "
+                             "Requires -p (not --artifact)")
     parser.add_argument("--verbose", action="store_true",
                         help="Log each HTTP request")
     return parser
@@ -118,6 +126,10 @@ def main(argv=None) -> int:
         if args.transport_dtype != "float32":
             print("Error: --transport_dtype float16 requires a checkpoint "
                   "(-p); AOT artifacts are lowered for float32 input.")
+            return 1
+        if args.allow_reload:
+            print("Error: --allow_reload requires a checkpoint (-p); AOT "
+                  "artifacts carry their weights in the file.")
             return 1
         meta_bs = meta.get("batch_size", "dynamic")
         # dynamic-batch artifacts serve at the --batch_size flag; a pinned
@@ -182,6 +194,19 @@ def main(argv=None) -> int:
             "transport_dtype": args.transport_dtype,
         }
 
+    reload_fn = None
+    if args.allow_reload:
+        # POST /reload: load + compile the new checkpoint with the SAME
+        # serving configuration, then the server swaps it in atomically
+        def reload_fn(path):
+            new_vars = load_pth(path, args.model_options)
+            new_predict = make_predictor(
+                new_vars, model_cfg, batch_size,
+                image_size=image_size, fast=not args.parity, mesh=mesh,
+                input_dtype=np.dtype(args.transport_dtype),
+            )
+            return new_predict, {**model_info, "checkpoint": path}
+
     server = CrosstalkServer(
         predict,
         batch_size=batch_size,
@@ -196,10 +221,12 @@ def main(argv=None) -> int:
         max_tiles=args.max_tiles,
         transport_dtype=(args.transport_dtype if args.model_path
                          else "float32"),
+        reload_fn=reload_fn,
     )
     host, port = server.address
-    print(f"Serving on http://{host}:{port}  "
-          f"(POST /predict, GET /healthz, GET /stats) — Ctrl-C to stop")
+    endpoints = "POST /predict, GET /healthz, GET /stats" + (
+        ", POST /reload" if reload_fn is not None else "")
+    print(f"Serving on http://{host}:{port}  ({endpoints}) — Ctrl-C to stop")
 
     # SIGTERM (the orchestrator-standard stop signal) drains like Ctrl-C:
     # stop accepting, flush queued batches, resolve in-flight futures. The

@@ -79,6 +79,7 @@ class DynamicBatcher:
             "batches": 0,
             "padded_rows": 0,
             "device_seconds": 0.0,
+            "reloads": 0,
         }
         self._closed = False
         self._thread = threading.Thread(
@@ -108,6 +109,19 @@ class DynamicBatcher:
             self._stats["requests"] += 1
             self._stats["tiles"] += tiles.shape[0]
         return item.future
+
+    def swap_predict_fn(self, predict_fn) -> None:
+        """Atomically replace the model behind the batcher (hot reload).
+
+        The dispatcher reads ``self._predict`` once per batch, so an
+        in-flight batch completes on the model it started with and every
+        later batch uses the new one — no request is dropped or mixed.
+        Compile the new function BEFORE swapping (make_predictor's warmup)
+        so the first post-swap batch doesn't stall on compilation.
+        """
+        self._predict = predict_fn
+        with self._stats_lock:
+            self._stats["reloads"] += 1
 
     def stats(self) -> Dict:
         with self._stats_lock:

@@ -62,3 +62,14 @@ class CrosstalkClient:
         with urllib.request.urlopen(req, timeout=self.timeout) as r:
             out = json.load(r)
         return np.asarray(out["alpha"], np.float32)
+
+    def reload(self, model_path: str) -> Dict:
+        """Hot-swap the served checkpoint (server must run --allow_reload).
+
+        Requests issued during the reload keep being served by the previous
+        model; the swap happens only after the new one has loaded and
+        compiled. Returns the server's new model info."""
+        body = json.dumps({"model_path": model_path}).encode()
+        req = urllib.request.Request(self.url + "/reload", data=body)
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            return json.load(r)

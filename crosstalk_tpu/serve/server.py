@@ -111,6 +111,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(404, {"error": f"no such endpoint: {self.path}"})
 
     def do_POST(self):  # noqa: N802
+        if self.path == "/reload":
+            self._do_reload()
+            return
         if self.path != "/predict":
             self._send_json(404, {"error": f"no such endpoint: {self.path}"})
             return
@@ -144,6 +147,50 @@ class _Handler(BaseHTTPRequestHandler):
             200, {"alpha": [float(a) for a in alphas], "n": int(len(alphas))}
         )
 
+    def _do_reload(self):
+        """POST /reload {"model_path": "..."} — zero-downtime checkpoint
+        hot-swap. Disabled unless the server was built with a reload_fn
+        (the CLI's --allow_reload); requests keep serving on the old model
+        while the new one loads and compiles."""
+        if self.server.reload_fn is None:
+            self._send_json(
+                403, {"error": "reload is disabled (start the server with "
+                               "--allow_reload to enable it)"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except (TypeError, ValueError):
+            length = -1
+        if not 0 < length <= (1 << 20):  # a path payload, not a tile payload
+            self._send_json(400, {"error": f"bad Content-Length: {length}"})
+            return
+        try:
+            req = json.loads(self.rfile.read(length))
+            path = req["model_path"]
+        except (ValueError, KeyError, TypeError) as e:
+            self._send_json(
+                400, {"error": "body must be JSON with a 'model_path' key: "
+                               f"{type(e).__name__}: {e}"})
+            return
+        try:
+            # one reload at a time; load+compile happens INSIDE reload_fn,
+            # before the swap, so serving never pauses
+            with self.server.reload_lock:
+                predict_fn, info = self.server.reload_fn(path)
+                self.server.batcher.swap_predict_fn(predict_fn)
+                self.server.model_info = dict(info)
+        except (FileNotFoundError, KeyError, ValueError) as e:
+            self._send_json(
+                400, {"error": f"reload failed ({type(e).__name__}: {e}); "
+                               "still serving the previous model"})
+            return
+        except Exception as e:
+            self._send_json(
+                500, {"error": f"reload failed ({type(e).__name__}: {e}); "
+                               "still serving the previous model"})
+            return
+        self._send_json(200, {"status": "reloaded", **self.server.model_info})
+
     def log_message(self, fmt, *args):  # quiet by default
         if self.server.verbose:
             super().log_message(fmt, *args)
@@ -166,7 +213,11 @@ class CrosstalkServer:
         max_body_bytes: int = _MAX_BODY,
         max_tiles: int = _MAX_TILES,
         transport_dtype="float32",
+        reload_fn=None,
     ):
+        # ``reload_fn(model_path) -> (predict_fn, model_info)`` enables the
+        # POST /reload endpoint (zero-downtime checkpoint hot-swap). Loading
+        # a .pth unpickles it — only enable on trusted/admin networks.
         # transport_dtype='float16' assembles device batches in f16 —
         # half the host->device bytes; the predictor must be built with
         # input_dtype=np.float16 so the upcast happens on device.
@@ -185,6 +236,8 @@ class CrosstalkServer:
         self._httpd.verbose = verbose
         self._httpd.max_body_bytes = int(max_body_bytes)
         self._httpd.max_tiles = int(max_tiles)
+        self._httpd.reload_fn = reload_fn
+        self._httpd.reload_lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
 
     @property

@@ -552,11 +552,18 @@ def test_serve_cli_subprocess(tmp_path):
     burn_in_batch_stats(tmodel, 64, steps=2)
     ckpt = str(tmp_path / "model.pth")
     torch.save(tmodel.state_dict(), ckpt)
+    # a second, differently-initialized checkpoint for the hot-reload leg
+    torch.manual_seed(8)
+    tmodel2 = TorchSingle(image_size=64)
+    burn_in_batch_stats(tmodel2, 64, steps=2, seed=1)
+    ckpt2 = str(tmp_path / "model2.pth")
+    torch.save(tmodel2.state_dict(), ckpt2)
 
     proc = subprocess.Popen(
         [sys.executable, "-m", "crosstalk_tpu.cli.serve",
          "-p", ckpt, "-o", "single", "--port", "0", "--image_size", "64",
-         "--batch_size", "4", "--parity", "--transport_dtype", "float16"],
+         "--batch_size", "4", "--parity", "--transport_dtype", "float16",
+         "--allow_reload"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     try:
@@ -587,6 +594,20 @@ def test_serve_cli_subprocess(tmp_path):
         # f16 transport: within the quantization budget of the torch golden
         np.testing.assert_allclose(out["alpha"], golden, atol=2e-3)
 
+        # hot-swap to the second checkpoint through the CLI's reload path
+        from crosstalk_tpu.serve.client import CrosstalkClient
+
+        client = CrosstalkClient(url, timeout=120)
+        info = client.reload(ckpt2)
+        assert info["status"] == "reloaded" and info["checkpoint"] == ckpt2
+        out2 = _post_npz(url, mixed=mixed, source=source)
+        with torch.no_grad():
+            golden2 = tmodel2(
+                torch.from_numpy(norm.transpose(0, 3, 1, 2))
+            ).numpy().ravel()
+        np.testing.assert_allclose(out2["alpha"], golden2, atol=2e-3)
+        assert not np.allclose(golden2, golden)  # the swap actually happened
+
         # SIGTERM drains gracefully: exit 0, shutdown message printed
         proc.terminate()
         rest = proc.communicate(timeout=60)[0]
@@ -596,3 +617,83 @@ def test_serve_cli_subprocess(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_hot_reload_endpoint():
+    """POST /reload hot-swaps the model with zero downtime: old model keeps
+    serving during the (slow) load+compile, the swap is atomic, failures
+    leave the previous model serving, and the endpoint is off by default."""
+    from crosstalk_tpu.serve.client import CrosstalkClient
+    from crosstalk_tpu.serve.server import CrosstalkServer
+
+    def model_a(batch):
+        return np.full((batch.shape[0],), 1.0, np.float32)
+
+    registry = {
+        "b.pth": lambda batch: np.full((batch.shape[0],), 2.0, np.float32),
+    }
+    reload_started = threading.Event()
+    release_reload = threading.Event()
+
+    def reload_fn(path):
+        if path not in registry:
+            raise FileNotFoundError(path)
+        reload_started.set()
+        # simulate the load+compile window; requests must keep serving
+        assert release_reload.wait(timeout=30)
+        return registry[path], {"model": "single", "checkpoint": path}
+
+    # ---- reload disabled by default
+    off = CrosstalkServer(model_a, batch_size=2, image_size=8,
+                          port=0, max_delay_ms=1.0)
+    off.start_background()
+    try:
+        url = "http://%s:%d" % off.address
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            CrosstalkClient(url).reload("b.pth")
+        assert exc.value.code == 403
+    finally:
+        off.shutdown()
+
+    server = CrosstalkServer(model_a, batch_size=2, image_size=8,
+                             port=0, max_delay_ms=1.0,
+                             model_info={"checkpoint": "a.pth"},
+                             reload_fn=reload_fn)
+    server.start_background()
+    try:
+        url = "http://%s:%d" % server.address
+        client = CrosstalkClient(url)
+        tiles = np.zeros((3, 8, 8, 2), np.float32)
+        np.testing.assert_array_equal(client.predict(tiles), [1.0] * 3)
+
+        # bad path -> 400, old model untouched
+        release_reload.set()
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            client.reload("missing.pth")
+        assert exc.value.code == 400
+        assert "still serving" in json.loads(exc.value.read())["error"]
+        np.testing.assert_array_equal(client.predict(tiles), [1.0] * 3)
+        assert client.health()["checkpoint"] == "a.pth"
+
+        # slow reload: requests issued mid-reload are served by the old model
+        release_reload.clear()
+        reload_started.clear()
+        done = {}
+
+        def do_reload():
+            done["info"] = client.reload("b.pth")
+
+        t = threading.Thread(target=do_reload)
+        t.start()
+        assert reload_started.wait(timeout=30)
+        np.testing.assert_array_equal(client.predict(tiles), [1.0] * 3)
+        release_reload.set()
+        t.join(timeout=30)
+        assert done["info"]["status"] == "reloaded"
+        assert done["info"]["checkpoint"] == "b.pth"
+
+        np.testing.assert_array_equal(client.predict(tiles), [2.0] * 3)
+        assert client.health()["checkpoint"] == "b.pth"
+        assert client.stats()["reloads"] == 1
+    finally:
+        server.shutdown()
