@@ -115,9 +115,14 @@ class DynamicBatcher:
 
         The dispatcher reads ``self._predict`` once per batch, so an
         in-flight batch completes on the model it started with and every
-        later batch uses the new one — no request is dropped or mixed.
-        Compile the new function BEFORE swapping (make_predictor's warmup)
-        so the first post-swap batch doesn't stall on compilation.
+        later batch uses the new one — no request is dropped. Swap
+        granularity is the BATCH: a single request larger than the batch
+        size that straddles the swap has its later rows scored by the new
+        model (both models are valid checkpoints of the same task, so this
+        only matters if the caller assumes one-model-per-request — split
+        requests at the batch size to guarantee that). Compile the new
+        function BEFORE swapping (make_predictor's warmup) so the first
+        post-swap batch doesn't stall on compilation.
         """
         self._predict = predict_fn
         with self._stats_lock:
