@@ -133,6 +133,53 @@ def test_fast_forward_matches_flax(variant):
     )  # both bf16 paths, different op order
 
 
+def test_double_fused_input_block_path(monkeypatch):
+    """At the real two-branch width (64 filters/branch) the pair of C=1
+    first blocks must route through ONE block-diagonal fused kernel call
+    (2F = 128 meets the lane constraint) and match the flax forward."""
+    import crosstalk_tpu.eval.fast_forward as ff
+
+    calls = {"n": 0}
+    real = ff.fused_input_block
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(ff, "fused_input_block", counting)
+
+    cfg = ModelConfig(variant="double", initial_filters_per_branch=64,
+                      compute_dtype="bf16")
+    model = build_model(cfg)
+    size = 64
+    variables = init_model(model, jax.random.key(1), image_size=size)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((2, size, size, 2)).astype(np.float32))
+
+    golden = model.apply(variables, x, train=False)
+    fast = ff.make_fast_forward(cfg, use_pallas=True, interpret=True)
+    out = fast(variables, x)
+    assert calls["n"] == 1  # ONE fused call covers both branches' block 0
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(golden), atol=5e-3, rtol=0
+    )
+
+    # odd width per branch (2F not lane-aligned) falls back to XLA blocks
+    calls["n"] = 0
+    cfg2 = ModelConfig(variant="double", initial_filters_per_branch=4,
+                       compute_dtype="bf16")
+    model2 = build_model(cfg2)
+    v2 = init_model(model2, jax.random.key(2), image_size=32)
+    x2 = jnp.asarray(rng.random((2, 32, 32, 2)).astype(np.float32))
+    fast2 = ff.make_fast_forward(cfg2, use_pallas=True, interpret=True)
+    out2 = fast2(v2, x2)
+    assert calls["n"] == 0
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(model2.apply(v2, x2, train=False)),
+        atol=5e-3, rtol=0,
+    )
+
+
 def test_fast_forward_full_config_torch_parity():
     """Fast path vs the torch golden at the full single config: the bf16
     serving path must stay within a few*1e-4 of the f64-exact reference."""
