@@ -46,6 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch_size", type=int, default=256,
                         help="Static device batch size; requests are "
                              "coalesced and padded to exactly this shape")
+    parser.add_argument("--batch_buckets", type=str, default=None,
+                        help="Comma-separated extra batch shapes below "
+                             "--batch_size (e.g. '32,128'). A partially-"
+                             "filled flush dispatches at the smallest "
+                             "bucket that holds it, so light traffic pays "
+                             "a small device call + transfer instead of a "
+                             "full batch_size one. Each bucket compiles "
+                             "its own program at startup. Requires -p")
     parser.add_argument("--max_delay_ms", type=float, default=5.0,
                         help="Max time a queued tile waits for a full batch")
     parser.add_argument("--image_size", type=int, default=256,
@@ -100,6 +108,25 @@ def main(argv=None) -> int:
     if bool(args.model_path) == bool(args.artifact):
         print("Error: pass exactly one of -p/--model_path or --artifact.")
         return 1
+
+    buckets = None
+    if args.batch_buckets:
+        if not args.model_path:
+            print("Error: --batch_buckets requires a checkpoint (-p); AOT "
+                  "artifacts are lowered at fixed shapes.")
+            return 1
+        try:
+            buckets = sorted(
+                {int(tok) for tok in args.batch_buckets.split(",") if tok.strip()}
+            )
+        except ValueError:
+            print("Error: --batch_buckets must be comma-separated integers, "
+                  f"got {args.batch_buckets!r}")
+            return 1
+        if not buckets or buckets[0] <= 0 or buckets[-1] > args.batch_size:
+            print("Error: --batch_buckets values must be in 1..batch_size "
+                  f"({args.batch_size}), got {buckets}")
+            return 1
 
     n_dev = args.num_devices or 1
     if n_dev > len(jax.devices()):
@@ -170,17 +197,22 @@ def main(argv=None) -> int:
 
         batch_size = args.batch_size
         image_size = args.image_size
-        if mesh is not None and batch_size % n_dev != 0:
-            print(f"Error: --batch_size {batch_size} must divide across "
-                  f"{n_dev} devices.")
-            return 1
+        serve_sizes = (buckets or []) + [batch_size]
+        if mesh is not None:
+            bad = [b for b in serve_sizes if b % n_dev != 0]
+            if bad:
+                print(f"Error: batch shapes {bad} must divide across "
+                      f"{n_dev} devices.")
+                return 1
         print(f"Using device: {device.platform}:{device.device_kind} x{n_dev}")
-        print(f"Compiling serving program (batch {batch_size}, "
+        shapes = f"batch {batch_size}" + (
+            f" + buckets {buckets}" if buckets else "")
+        print(f"Compiling serving program ({shapes}, "
               f"{'f32 parity' if args.parity else 'bf16 serving'} path)...")
         import numpy as np
 
         predict = make_predictor(
-            variables, model_cfg, batch_size,
+            variables, model_cfg, serve_sizes,
             image_size=image_size, fast=not args.parity, mesh=mesh,
             input_dtype=np.dtype(args.transport_dtype),
         )
@@ -193,6 +225,8 @@ def main(argv=None) -> int:
             "devices": n_dev,
             "transport_dtype": args.transport_dtype,
         }
+        if buckets:
+            model_info["batch_buckets"] = buckets
 
     reload_fn = None
     if args.allow_reload:
@@ -201,7 +235,7 @@ def main(argv=None) -> int:
         def reload_fn(path):
             new_vars = load_pth(path, args.model_options)
             new_predict = make_predictor(
-                new_vars, model_cfg, batch_size,
+                new_vars, model_cfg, serve_sizes,
                 image_size=image_size, fast=not args.parity, mesh=mesh,
                 input_dtype=np.dtype(args.transport_dtype),
             )
@@ -222,6 +256,7 @@ def main(argv=None) -> int:
         transport_dtype=(args.transport_dtype if args.model_path
                          else "float32"),
         reload_fn=reload_fn,
+        bucket_sizes=buckets,
     )
     host, port = server.address
     endpoints = "POST /predict, GET /healthz, GET /stats" + (

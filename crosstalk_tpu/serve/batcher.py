@@ -1,11 +1,20 @@
 """Dynamic request batching for online inference.
 
-TPU-shaped design: the device runs ONE compiled program at ONE static batch
-shape. The batcher's job is to keep that program fed — it coalesces
-concurrently-arriving requests (each any number of tiles) into fixed-size
-batches, padding the tail of a flush with zero tiles rather than triggering
-a second program shape. A request larger than the batch size simply spans
-several device calls; a burst of single-tile requests shares one call.
+TPU-shaped design: the device runs compiled programs at a FIXED, small set
+of static batch shapes. The batcher's job is to keep them fed — it
+coalesces concurrently-arriving requests (each any number of tiles) into
+fixed-size batches, padding the tail of a flush with zero tiles rather
+than triggering a new program shape. A request larger than the batch size
+simply spans several device calls; a burst of single-tile requests shares
+one call.
+
+By default there is exactly one shape (``batch_size``). Optional
+``bucket_sizes`` adds smaller shapes: a partially-filled flush dispatches
+at the smallest bucket that holds it, so a lone 1-tile request under
+light traffic pays a bucket-sized device call (and bucket-sized H2D
+transfer — the dominant cost on bandwidth-limited links) instead of a
+full ``batch_size`` one. Every bucket is compiled up front by the
+predictor; the batcher never invents a shape.
 
 Flush policy: a batch is dispatched as soon as it is full, or when the
 oldest queued row has waited ``max_delay_ms`` (latency bound under light
@@ -44,9 +53,10 @@ class _Pending:
 class DynamicBatcher:
     """Coalesce concurrent prediction requests into fixed-size batches.
 
-    ``predict_fn`` takes a float32 ``(batch_size, H, W, C)`` array and
-    returns ``(batch_size,)`` float32 predictions; it is only ever called
-    with exactly ``batch_size`` rows.
+    ``predict_fn`` takes a float32 ``(n, H, W, C)`` array and returns
+    ``(n,)`` float32 predictions; ``n`` is always ``batch_size`` or one of
+    ``bucket_sizes`` (so a predictor can pre-compile every shape it will
+    ever see).
     """
 
     def __init__(
@@ -56,9 +66,18 @@ class DynamicBatcher:
         tile_shape,
         max_delay_ms: float = 5.0,
         dtype=np.float32,
+        bucket_sizes=None,
     ):
         if batch_size <= 0:
             raise ValueError(f"batch_size must be positive, got {batch_size}")
+        buckets = sorted({int(b) for b in (bucket_sizes or ())} | {int(batch_size)})
+        if buckets[0] <= 0:
+            raise ValueError(f"bucket sizes must be positive, got {buckets}")
+        if buckets[-1] != batch_size:
+            raise ValueError(
+                f"bucket sizes {buckets} must not exceed batch_size {batch_size}"
+            )
+        self._buckets = tuple(buckets)
         self._predict = predict_fn
         self._batch_size = batch_size
         self._tile_shape = tuple(tile_shape)  # (H, W, C)
@@ -78,6 +97,7 @@ class DynamicBatcher:
             "tiles": 0,
             "batches": 0,
             "padded_rows": 0,
+            "capacity_rows": 0,
             "device_seconds": 0.0,
             "reloads": 0,
         }
@@ -132,11 +152,13 @@ class DynamicBatcher:
         with self._stats_lock:
             out = dict(self._stats)
         out["batch_size"] = self._batch_size
+        if len(self._buckets) > 1:
+            out["bucket_sizes"] = list(self._buckets)
         out["max_delay_ms"] = self._max_delay * 1000.0
         out["transport_dtype"] = self._dtype.name
-        if out["batches"]:
-            out["mean_batch_occupancy"] = 1.0 - out["padded_rows"] / (
-                out["batches"] * self._batch_size
+        if out["capacity_rows"]:
+            out["mean_batch_occupancy"] = (
+                1.0 - out["padded_rows"] / out["capacity_rows"]
             )
         return out
 
@@ -195,12 +217,16 @@ class DynamicBatcher:
             self._dispatch_one(backlog)
 
     def _dispatch_one(self, backlog: "collections.deque[_Pending]") -> None:
-        batch = np.zeros((self._batch_size,) + self._tile_shape, self._dtype)
+        # Smallest pre-compiled shape that holds the pending rows (capped
+        # at batch_size; an overfull backlog just spans several dispatches).
+        rows = min(sum(p.remaining for p in backlog), self._batch_size)
+        size = next(b for b in self._buckets if b >= rows)
+        batch = np.zeros((size,) + self._tile_shape, self._dtype)
         took = []  # (pending, dst_start, src_start, n)
         filled = 0
-        while backlog and filled < self._batch_size:
+        while backlog and filled < size:
             p = backlog[0]
-            n = min(p.remaining, self._batch_size - filled)
+            n = min(p.remaining, size - filled)
             batch[filled : filled + n] = p.tiles[p.done : p.done + n]
             took.append((p, filled, p.done, n))
             p.done += n
@@ -210,10 +236,10 @@ class DynamicBatcher:
         t0 = time.monotonic()
         try:
             preds = np.asarray(self._predict(batch), np.float32).reshape(-1)
-            if preds.shape[0] != self._batch_size:
+            if preds.shape[0] != size:
                 raise RuntimeError(
                     f"predict_fn returned {preds.shape[0]} rows, "
-                    f"expected {self._batch_size}"
+                    f"expected {size}"
                 )
         except Exception as e:  # resolve every touched request with the error
             for p, _, _, _ in took:
@@ -229,5 +255,6 @@ class DynamicBatcher:
                 p.future.set_result(p.results)
         with self._stats_lock:
             self._stats["batches"] += 1
-            self._stats["padded_rows"] += self._batch_size - filled
+            self._stats["padded_rows"] += size - filled
+            self._stats["capacity_rows"] += size
             self._stats["device_seconds"] += dt

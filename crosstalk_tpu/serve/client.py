@@ -39,6 +39,7 @@ class CrosstalkClient:
         mixed: np.ndarray,
         source: Optional[np.ndarray] = None,
         dtype: Optional[str] = None,
+        chunk: Optional[int] = None,
     ) -> np.ndarray:
         """Predict alphas. Either ``mixed`` + ``source`` of shape (n, H, W)
         (or a single (H, W) tile each), or ``mixed`` alone already stacked
@@ -51,13 +52,33 @@ class CrosstalkClient:
         per tile on device, so the f16 quantization of raw intensities
         perturbs predictions only at the ~1e-3 alpha level. Omit (None)
         to send the arrays' own dtype, e.g. for f32 parity checks.
+
+        ``chunk`` splits a large request into sequential posts of at most
+        that many tiles (the server rejects requests above its
+        ``--max_tiles`` / ``--max_body_mb`` caps; chunking at e.g. the
+        server's batch size stays under both and bounds per-post memory).
+        Results concatenate in order, so the caller sees one (n,) array.
         """
         cast = (lambda a: np.asarray(a, dtype)) if dtype else np.asarray
-        buf = io.BytesIO()
         if source is None:
-            np.savez(buf, tiles=cast(mixed))
+            arrays = {"tiles": cast(mixed)}
+            n = 1 if arrays["tiles"].ndim == 3 else arrays["tiles"].shape[0]
         else:
-            np.savez(buf, mixed=cast(mixed), source=cast(source))
+            arrays = {"mixed": cast(mixed), "source": cast(source)}
+            n = 1 if arrays["mixed"].ndim == 2 else arrays["mixed"].shape[0]
+        if chunk is not None and chunk > 0 and n > chunk:
+            parts = [
+                self._post_predict(
+                    {k: v[lo : lo + chunk] for k, v in arrays.items()}
+                )
+                for lo in range(0, n, chunk)
+            ]
+            return np.concatenate(parts)
+        return self._post_predict(arrays)
+
+    def _post_predict(self, arrays: Dict[str, np.ndarray]) -> np.ndarray:
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
         req = urllib.request.Request(self.url + "/predict", data=buf.getvalue())
         with urllib.request.urlopen(req, timeout=self.timeout) as r:
             out = json.load(r)

@@ -23,7 +23,7 @@ from crosstalk_tpu.config import ModelConfig
 def make_predictor(
     variables,
     model_cfg: ModelConfig,
-    batch_size: int,
+    batch_size,
     image_size: int = 256,
     fast: bool = True,
     mesh=None,
@@ -31,8 +31,12 @@ def make_predictor(
     warmup: bool = True,
     input_dtype=np.float32,
 ) -> Callable[[np.ndarray], np.ndarray]:
-    """-> fn((batch_size, H, W, C) ``input_dtype`` np) -> (batch_size,) f32 np.
+    """-> fn((n, H, W, C) ``input_dtype`` np) -> (n,) f32 np.
 
+    ``batch_size`` is one int (one compiled shape — the batcher pads every
+    flush to it) or a sequence of ints (batch buckets: one program per
+    size, all compiled at warmup; ``n`` must then be one of them — the
+    batcher's ``bucket_sizes`` picks the smallest that fits a flush).
     ``fast`` selects the folded-BN bf16 serving forward; False uses the flax
     module in the config's compute dtype (f32 for checkpoint parity).
     ``use_pallas`` defaults to True exactly when running single-device on a
@@ -48,6 +52,12 @@ def make_predictor(
 
     n_channels = 2
     input_dtype = np.dtype(input_dtype)
+    if isinstance(batch_size, (list, tuple, set, frozenset)):
+        sizes = tuple(sorted({int(b) for b in batch_size}))
+    else:
+        sizes = (int(batch_size),)
+    if not sizes or sizes[0] <= 0:
+        raise ValueError(f"batch sizes must be positive, got {sizes}")
     if use_pallas is None:
         platform = jax.devices()[0].platform
         use_pallas = (fast and platform in ("tpu", "axon") and mesh is None)
@@ -61,11 +71,12 @@ def make_predictor(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if batch_size % mesh.size != 0:
-            raise ValueError(
-                f"serving batch size {batch_size} must divide across the "
-                f"{mesh.size}-device mesh"
-            )
+        for b in sizes:
+            if b % mesh.size != 0:
+                raise ValueError(
+                    f"serving batch size {b} must divide across the "
+                    f"{mesh.size}-device mesh"
+                )
         batch_sharding = NamedSharding(mesh, P("data"))
         replicated = NamedSharding(mesh, P())
         variables = jax.device_put(variables, replicated)
@@ -79,13 +90,15 @@ def make_predictor(
         variables = jax.device_put(variables)
 
     def predict(raw: np.ndarray) -> np.ndarray:
-        if raw.shape != (batch_size, image_size, image_size, n_channels):
+        shape = (image_size, image_size, n_channels)
+        if raw.ndim != 4 or raw.shape[1:] != shape or raw.shape[0] not in sizes:
             raise ValueError(
-                f"predict expects shape {(batch_size, image_size, image_size, n_channels)}, "
-                f"got {raw.shape}"
+                f"predict expects shape (n, {', '.join(map(str, shape))}) "
+                f"with n in {list(sizes)}, got {raw.shape}"
             )
         return np.asarray(step(variables, np.asarray(raw, input_dtype)))
 
-    if warmup:  # compile before the first request arrives
-        predict(np.zeros((batch_size, image_size, image_size, n_channels), input_dtype))
+    if warmup:  # compile every serving shape before the first request arrives
+        for b in reversed(sizes):
+            predict(np.zeros((b, image_size, image_size, n_channels), input_dtype))
     return predict

@@ -11,9 +11,10 @@ Endpoints:
   GET  /stats    — batching/throughput counters (see batcher.stats()).
 
 The handler threads only parse bytes and wait on a Future; all device work
-happens on the batcher's single dispatcher thread at one static batch
-shape. ``ThreadingHTTPServer`` gives one thread per connection, which is
-plenty — request handling is IO-bound.
+happens on the batcher's single dispatcher thread at a fixed set of static
+batch shapes (one by default; ``bucket_sizes`` adds smaller pre-compiled
+shapes for light-traffic latency). ``ThreadingHTTPServer`` gives one
+thread per connection, which is plenty — request handling is IO-bound.
 """
 
 from __future__ import annotations
@@ -36,6 +37,49 @@ _MAX_BODY = 256 << 20
 _MAX_TILES = 4096  # decoded-tile cap per request (post-decompression bound)
 
 
+def _check_decoded_size(body: bytes, tile_hw, max_tiles: int) -> None:
+    """Reject zip-bombs BEFORE np.load materializes anything.
+
+    An npz is a zip of .npy members; deflate compresses constant arrays
+    ~1000x, so a 4 MB body under the Content-Length cap can decode to
+    4+ GB. Each member's shape/dtype sits in its .npy header — read just
+    the headers and bound the element count by what ``max_tiles`` already
+    permits (the operator's memory knob), without decompressing the data.
+    """
+    import zipfile
+
+    max_elements = int(max_tiles) * tile_hw[0] * tile_hw[1] * 2
+    try:
+        with zipfile.ZipFile(io.BytesIO(body)) as zf:
+            names = zf.namelist()
+            if len(names) > 8:
+                raise ValueError(f"npz holds {len(names)} members, cap is 8")
+            for name in names:
+                with zf.open(name) as fp:
+                    version = np.lib.format.read_magic(fp)
+                    if version == (1, 0):
+                        shape, _, _ = np.lib.format.read_array_header_1_0(fp)
+                    elif version == (2, 0):
+                        shape, _, _ = np.lib.format.read_array_header_2_0(fp)
+                    else:
+                        raise ValueError(
+                            f"unsupported .npy format version {version}"
+                        )
+                elements = 1
+                for dim in shape:
+                    elements *= int(dim)
+                if elements > max_elements:
+                    raise ValueError(
+                        f"member {name!r} would decode to {shape} "
+                        f"({elements:,} elements); the request cap is "
+                        f"{max_tiles} tiles ({max_elements:,} elements)"
+                    )
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"body is not a readable .npz archive: {e}")
+
+
 def _decode_request(body: bytes, tile_hw, max_tiles: int) -> np.ndarray:
     """npz bytes -> (n, H, W, 2) float32 tiles. Raises ValueError.
 
@@ -43,6 +87,7 @@ def _decode_request(body: bytes, tile_hw, max_tiles: int) -> np.ndarray:
     the recommended production format — see client.predict(dtype=...));
     everything is cast to float32 before the device sees it.
     """
+    _check_decoded_size(body, tile_hw, max_tiles)
     try:
         with np.load(io.BytesIO(body)) as npz:
             if "tiles" in npz:
@@ -214,6 +259,7 @@ class CrosstalkServer:
         max_tiles: int = _MAX_TILES,
         transport_dtype="float32",
         reload_fn=None,
+        bucket_sizes=None,
     ):
         # ``reload_fn(model_path) -> (predict_fn, model_info)`` enables the
         # POST /reload endpoint (zero-downtime checkpoint hot-swap). Loading
@@ -227,6 +273,7 @@ class CrosstalkServer:
             tile_shape=(image_size, image_size, 2),
             max_delay_ms=max_delay_ms,
             dtype=transport_dtype,
+            bucket_sizes=bucket_sizes,
         )
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.batcher = self.batcher

@@ -46,6 +46,38 @@ def test_batcher_sizes_and_padding():
         b.close()
 
 
+def test_batcher_buckets_dispatch_smallest_fit():
+    calls = []
+
+    def predict(batch):
+        calls.append(batch.shape[0])
+        return _mean_predict(batch)
+
+    b = DynamicBatcher(predict, batch_size=8, tile_shape=TILE,
+                       max_delay_ms=1.0, bucket_sizes=[2, 4])
+    try:
+        rng = np.random.default_rng(7)
+        for n in (1, 3, 9):  # -> bucket 2, bucket 4, full 8 + bucket 2
+            tiles = rng.random((n,) + TILE, np.float32)
+            got = b.submit(tiles).result(timeout=30)
+            np.testing.assert_allclose(got, _mean_predict(tiles), rtol=1e-6)
+        assert calls == [2, 4, 8, 2]
+        stats = b.stats()
+        assert stats["bucket_sizes"] == [2, 4, 8]
+        assert stats["capacity_rows"] == 16
+        assert stats["padded_rows"] == 3  # 1 in each bucket-2 flush, 1 in the 4
+        assert stats["mean_batch_occupancy"] == pytest.approx(13 / 16)
+    finally:
+        b.close()
+
+    with pytest.raises(ValueError):  # bucket above batch_size
+        DynamicBatcher(_mean_predict, batch_size=4, tile_shape=TILE,
+                       bucket_sizes=[8])
+    with pytest.raises(ValueError):
+        DynamicBatcher(_mean_predict, batch_size=4, tile_shape=TILE,
+                       bucket_sizes=[0])
+
+
 def test_batcher_coalesces_concurrent_requests():
     calls = []
 
@@ -209,6 +241,49 @@ def test_predictor_fast_path_close_to_module(tiny_model):
     np.testing.assert_allclose(predict(raw), golden, atol=2e-2)  # bf16 path
 
 
+def test_predictor_batch_buckets_match_module(tiny_model):
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.serve.predictor import make_predictor
+
+    cfg, model, variables = tiny_model
+    predict = make_predictor(variables, cfg, batch_size=[2, 4], image_size=32,
+                             fast=False)
+    rng = np.random.default_rng(11)
+    for n in (2, 4):
+        raw = rng.random((n, 32, 32, 2), np.float32) * 3.0
+        golden = np.asarray(
+            model.apply(variables, normalize_batch_nhwc(raw), train=False)
+        )[:, 0]
+        np.testing.assert_allclose(predict(raw), golden, rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError):  # n must be one of the compiled shapes
+        predict(np.zeros((3, 32, 32, 2), np.float32))
+
+
+def test_server_with_buckets_end_to_end(tiny_model):
+    from crosstalk_tpu.serve.predictor import make_predictor
+    from crosstalk_tpu.serve.server import CrosstalkServer
+
+    cfg, model, variables = tiny_model
+    predict = make_predictor(variables, cfg, batch_size=[2, 4], image_size=32,
+                             fast=False)
+    server = CrosstalkServer(predict, batch_size=4, image_size=32, port=0,
+                             max_delay_ms=2.0, bucket_sizes=[2],
+                             model_info={"model": "single"})
+    server.start_background()
+    try:
+        host, port = server.address
+        url = f"http://{host}:{port}"
+        out = _post_npz(url, mixed=np.random.rand(1, 32, 32),
+                        source=np.random.rand(1, 32, 32))
+        assert len(out["alpha"]) == 1
+        with urllib.request.urlopen(url + "/stats", timeout=30) as resp:
+            stats = json.load(resp)
+        assert stats["bucket_sizes"] == [2, 4]
+        assert stats["capacity_rows"] == 2  # the lone tile rode bucket 2
+    finally:
+        server.shutdown()
+
+
 def test_predictor_mesh_sharded_matches_single(tiny_model):
     from crosstalk_tpu.parallel.mesh import data_mesh
     from crosstalk_tpu.serve.predictor import make_predictor
@@ -293,6 +368,18 @@ def test_client_roundtrip(running_server):
     np.testing.assert_allclose(client.predict(raw), golden,
                                rtol=1e-5, atol=1e-5)
     assert client.stats()["requests"] >= 2
+
+    # chunked upload: 5 tiles in posts of <=2, results concatenate in order
+    mixed5 = rng.random((5, 32, 32), np.float64)
+    source5 = rng.random((5, 32, 32), np.float64)
+    before = client.stats()["requests"]
+    got5 = client.predict(mixed5, source5, chunk=2)
+    raw5 = np.stack([mixed5, source5], axis=-1).astype(np.float32)
+    golden5 = np.asarray(
+        model.apply(variables, normalize_batch_nhwc(raw5), train=False)
+    )[:, 0]
+    np.testing.assert_allclose(got5, golden5, rtol=1e-5, atol=1e-5)
+    assert client.stats()["requests"] == before + 3  # ceil(5/2) posts
 
 
 def test_http_health_stats_and_errors(running_server):
@@ -411,6 +498,17 @@ def test_http_request_limits(running_server):
         buf = io.BytesIO()
         np.savez(buf, tiles=np.zeros((3, 32, 32, 2), np.float16))
         _decode_request(buf.getvalue(), (32, 32), max_tiles=2)
+
+    # zip-bomb: a ~KB compressed body that would DECODE to ~800 MB is
+    # rejected from the .npy member headers alone, before np.load
+    # materializes anything (constant arrays deflate ~1000x)
+    bomb = io.BytesIO()
+    np.savez_compressed(
+        bomb, tiles=np.zeros((100_000, 32, 32, 2), np.float32)
+    )
+    assert len(bomb.getvalue()) < 1 << 20  # fits any sane body cap
+    with pytest.raises(ValueError, match="would decode"):
+        _decode_request(bomb.getvalue(), (32, 32), max_tiles=4096)
 
     # body-size cap -> 400 end-to-end against a tightly-capped server
     small = CrosstalkServer(lambda b: b.mean(axis=(1, 2, 3)), batch_size=2,
@@ -538,6 +636,14 @@ def test_serve_cli_flag_validation(tmp_path, capsys):
     bad.write_bytes(b"garbage")
     assert serve_main(["--artifact", str(bad)]) == 1
     assert "Error loading artifact" in capsys.readouterr().out
+    # batch buckets: artifact path, non-integer, out-of-range
+    assert serve_main(["--artifact", str(bad), "--batch_buckets", "32"]) == 1
+    assert "requires a checkpoint" in capsys.readouterr().out
+    assert serve_main(["-p", "a.pth", "--batch_buckets", "x,2"]) == 1
+    assert "comma-separated integers" in capsys.readouterr().out
+    assert serve_main(["-p", "a.pth", "--batch_size", "8",
+                       "--batch_buckets", "16"]) == 1
+    assert "must be in 1..batch_size" in capsys.readouterr().out
 
 
 def test_serve_cli_subprocess(tmp_path):
@@ -562,8 +668,8 @@ def test_serve_cli_subprocess(tmp_path):
     proc = subprocess.Popen(
         [sys.executable, "-m", "crosstalk_tpu.cli.serve",
          "-p", ckpt, "-o", "single", "--port", "0", "--image_size", "64",
-         "--batch_size", "4", "--parity", "--transport_dtype", "float16",
-         "--allow_reload"],
+         "--batch_size", "4", "--batch_buckets", "2", "--parity",
+         "--transport_dtype", "float16", "--allow_reload"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     try:
@@ -593,6 +699,12 @@ def test_serve_cli_subprocess(tmp_path):
             ).numpy().ravel()
         # f16 transport: within the quantization budget of the torch golden
         np.testing.assert_allclose(out["alpha"], golden, atol=2e-3)
+
+        # the 5-tile request rode a full 4-batch + the 2-bucket remainder
+        with urllib.request.urlopen(url + "/stats", timeout=30) as resp:
+            stats = json.load(resp)
+        assert stats["bucket_sizes"] == [2, 4]
+        assert stats["capacity_rows"] == 6 and stats["padded_rows"] == 1
 
         # hot-swap to the second checkpoint through the CLI's reload path
         from crosstalk_tpu.serve.client import CrosstalkClient

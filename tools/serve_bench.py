@@ -35,6 +35,10 @@ def main(argv=None) -> int:
     ap.add_argument("-p", "--model_path", default=None,
                     help=".pth to serve (default: fresh init)")
     ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--batch_buckets", type=str, default=None,
+                    help="Comma-separated extra batch shapes below "
+                         "batch_size (see cli.serve --batch_buckets): "
+                         "light-traffic flushes ride the smallest bucket")
     ap.add_argument("--max_delay_ms", type=float, default=5.0)
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--tiles_per_request", type=int, default=32)
@@ -71,17 +75,22 @@ def main(argv=None) -> int:
         variables = init_model(build_model(cfg), jax.random.key(0),
                                image_size=args.image_size)
 
-    print(f"Compiling (batch {args.batch_size}, "
-          f"{'f32' if args.parity else 'bf16'}, "
+    buckets = (sorted({int(b) for b in args.batch_buckets.split(",")})
+               if args.batch_buckets else None)
+    print(f"Compiling (batch {args.batch_size}"
+          + (f" + buckets {buckets}" if buckets else "")
+          + f", {'f32' if args.parity else 'bf16'}, "
           f"{args.transport_dtype} transport)...", file=sys.stderr)
-    predict = make_predictor(variables, cfg, args.batch_size,
+    predict = make_predictor(variables, cfg,
+                             (buckets or []) + [args.batch_size],
                              image_size=args.image_size,
                              fast=not args.parity,
                              input_dtype=np.dtype(args.transport_dtype))
     server = CrosstalkServer(predict, batch_size=args.batch_size,
                              image_size=args.image_size, port=0,
                              max_delay_ms=args.max_delay_ms,
-                             transport_dtype=args.transport_dtype)
+                             transport_dtype=args.transport_dtype,
+                             bucket_sizes=buckets)
     server.start_background()
     host, port = server.address
     client_url = f"http://{host}:{port}"
