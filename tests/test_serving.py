@@ -133,11 +133,13 @@ def test_batcher_error_propagates_and_recovers():
         b.close()
 
 
-def test_batcher_randomized_stress():
+@pytest.mark.parametrize("bucket_sizes", [None, [3, 5]])
+def test_batcher_randomized_stress(bucket_sizes):
     """Adversarial interleaving: 12 threads, random request sizes (1..19,
     spanning the batch size both ways), random client-side jitter — every
     request's predictions must match the direct computation exactly, and
-    every tile must be processed exactly once."""
+    every tile must be processed exactly once. Run twice: single-shape and
+    with batch buckets (every dispatch must then be a declared shape)."""
     processed = []
     lock = threading.Lock()
 
@@ -147,7 +149,7 @@ def test_batcher_randomized_stress():
         return _mean_predict(batch)
 
     b = DynamicBatcher(predict, batch_size=8, tile_shape=TILE,
-                       max_delay_ms=3.0)
+                       max_delay_ms=3.0, bucket_sizes=bucket_sizes)
     try:
         n_threads, per_thread = 12, 6
         results = [[None] * per_thread for _ in range(n_threads)]
@@ -179,9 +181,10 @@ def test_batcher_randomized_stress():
         total = sum(x.shape[0] for row in tiles for x in row)
         stats = b.stats()
         assert stats["tiles"] == total
-        # every dispatched batch is exactly the static shape
-        assert all(n == 8 for n in processed)
-        assert stats["batches"] * 8 - stats["padded_rows"] == total
+        # every dispatched batch is one of the declared static shapes
+        shapes = {8} if bucket_sizes is None else set(bucket_sizes) | {8}
+        assert set(processed) <= shapes
+        assert stats["capacity_rows"] - stats["padded_rows"] == total
     finally:
         b.close()
 
@@ -527,6 +530,38 @@ def test_http_request_limits(running_server):
     # the main server is still healthy after all of the above
     with urllib.request.urlopen(url + "/healthz", timeout=30) as resp:
         assert json.load(resp)["status"] == "ok"
+
+
+def test_decode_request_malformed_bodies_raise_valueerror():
+    """Every malformed body class maps to ValueError (-> HTTP 400), never
+    an unhandled exception in the handler thread."""
+    import zipfile
+
+    from crosstalk_tpu.serve.server import _decode_request
+
+    ok = io.BytesIO()
+    np.savez(ok, tiles=np.zeros((1, 32, 32, 2), np.float32))
+    ok_bytes = ok.getvalue()
+
+    # a zip whose member is not a .npy payload
+    notnpy = io.BytesIO()
+    with zipfile.ZipFile(notnpy, "w") as zf:
+        zf.writestr("tiles.npy", b"this is not numpy data")
+
+    rng = np.random.default_rng(0)
+    bodies = [
+        b"",                                   # empty
+        b"garbage" * 100,                      # not a zip
+        ok_bytes[: len(ok_bytes) // 2],        # truncated zip
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),  # random bytes
+        notnpy.getvalue(),                     # zip, non-npy member
+    ]
+    for body in bodies:
+        with pytest.raises(ValueError):
+            _decode_request(body, (32, 32), max_tiles=16)
+    # the well-formed body still decodes after all that
+    assert _decode_request(ok_bytes, (32, 32), max_tiles=16).shape == (
+        1, 32, 32, 2)
 
 
 def test_http_error_with_unread_body_closes_connection(running_server):

@@ -18,11 +18,19 @@ speed-of-light) by decomposition plus two new ideas from the round-1 review:
                 the moment update)
 
 All hoist-proof (per-step input perturbation) with a D2H fence; us/img at
-B=128 over a 16-step lax.scan. Single-branch flagship model, bf16 compute.
+B=128 over a 16-step lax.scan. Defaults to the single-branch flagship
+model, bf16 compute; ``-o double`` audits the two-branch 137M-param model
+(its decomposition receipt lives next to the single-branch one in
+PERF_NOTES.md).
 """
 
+import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -117,7 +125,11 @@ def make_step(model, tx, mode: str):
 
 
 def main():
-    cfg = ModelConfig(variant="single", compute_dtype="bf16")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-o", "--model_options", default="single",
+                    choices=["single", "double"])
+    args = ap.parse_args()
+    cfg = ModelConfig(variant=args.model_options, compute_dtype="bf16")
     model = build_model(cfg)
     tx = make_optimizer(OptimConfig())
     rng = np.random.default_rng(1)
