@@ -259,7 +259,7 @@ def main(argv=None) -> int:
         bucket_sizes=buckets,
     )
     host, port = server.address
-    endpoints = "POST /predict, GET /healthz, GET /stats" + (
+    endpoints = "POST /predict, GET /healthz, GET /stats, GET /metrics" + (
         ", POST /reload" if reload_fn is not None else "")
     print(f"Serving on http://{host}:{port}  ({endpoints}) — Ctrl-C to stop")
 

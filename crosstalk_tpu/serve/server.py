@@ -9,6 +9,8 @@ Endpoints:
                    train_model.py:211-216) — send raw intensities.
   GET  /healthz  — liveness + model identity.
   GET  /stats    — batching/throughput counters (see batcher.stats()).
+  GET  /metrics  — the same counters in Prometheus text exposition format
+                   (scrape-ready; counter/gauge types annotated).
 
 The handler threads only parse bytes and wait on a Future; all device work
 happens on the batcher's single dispatcher thread at a fixed set of static
@@ -152,8 +154,52 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(200, {"status": "ok", **self.server.model_info})
         elif self.path == "/stats":
             self._send_json(200, self.server.batcher.stats())
+        elif self.path == "/metrics":
+            self._send_metrics()
         else:
             self._send_json(404, {"error": f"no such endpoint: {self.path}"})
+
+    def _send_metrics(self) -> None:
+        """Prometheus text exposition of the batcher counters."""
+        s = self.server.batcher.stats()
+        rows = [
+            ("requests_total", "counter", s["requests"],
+             "Prediction requests received"),
+            ("tiles_total", "counter", s["tiles"],
+             "Tiles received across all requests"),
+            ("batches_total", "counter", s["batches"],
+             "Device batches dispatched"),
+            ("padded_rows_total", "counter", s["padded_rows"],
+             "Zero-padded rows across dispatched batches"),
+            ("batch_capacity_rows_total", "counter", s["capacity_rows"],
+             "Total rows of dispatched batch capacity"),
+            ("device_seconds_total", "counter", s["device_seconds"],
+             "Wall seconds spent in predict_fn calls"),
+            ("model_reloads_total", "counter", s["reloads"],
+             "Checkpoint hot-swaps performed"),
+            ("batch_occupancy", "gauge",
+             s.get("mean_batch_occupancy", 1.0),
+             "1 - padded/capacity over all dispatched batches"),
+            ("batch_size", "gauge", s["batch_size"],
+             "Largest (default) device batch shape"),
+        ]
+        lines = []
+        for name, mtype, value, help_text in rows:
+            full = f"crosstalk_{name}"
+            lines.append(f"# HELP {full} {help_text}")
+            lines.append(f"# TYPE {full} {mtype}")
+            lines.append(f"{full} {value}")
+        for size in s.get("bucket_sizes", []):
+            lines.append(
+                f'crosstalk_batch_bucket{{size="{size}"}} 1'
+            )
+        body = ("\n".join(lines) + "\n").encode()
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         "text/plain; version=0.0.4; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def do_POST(self):  # noqa: N802
         if self.path == "/reload":

@@ -414,6 +414,30 @@ def test_http_health_stats_and_errors(running_server):
     assert exc_info.value.code == 404
 
 
+def test_metrics_endpoint_prometheus_format(running_server):
+    url, model, variables = running_server
+    # drive one request so the counters are nonzero
+    _post_npz(url, tiles=np.random.rand(2, 32, 32, 2).astype(np.float32))
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        body = resp.read().decode()
+    lines = body.splitlines()
+    # every metric is annotated with HELP/TYPE and carries a numeric value
+    metrics = {}
+    for line in lines:
+        if line.startswith("#"):
+            continue
+        name, value = line.rsplit(" ", 1)
+        metrics[name] = float(value)
+    assert metrics["crosstalk_requests_total"] >= 1
+    assert metrics["crosstalk_tiles_total"] >= 2
+    assert metrics["crosstalk_batches_total"] >= 1
+    assert 0.0 <= metrics["crosstalk_batch_occupancy"] <= 1.0
+    assert metrics["crosstalk_batch_size"] == 4
+    assert "# TYPE crosstalk_requests_total counter" in lines
+    assert "# TYPE crosstalk_batch_occupancy gauge" in lines
+
+
 def test_float16_wire_format_halves_payload_within_budget(running_server):
     """The production wire format: client casts to float16 before upload.
     Payload must be ~half the f32 size and predictions must stay within the
