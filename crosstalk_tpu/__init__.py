@@ -30,3 +30,62 @@ analyse_training_results.py flags and on-disk artifact contract) is preserved.
 """
 
 __version__ = "0.1.0"
+
+# Top-level convenience API. Resolved lazily so `import crosstalk_tpu`
+# stays light (no jax import) until a symbol is actually used — the CLIs
+# configure jax (platform, compilation cache) before touching the library.
+_PUBLIC_API = {
+    # config
+    "ModelConfig": "crosstalk_tpu.config",
+    "OptimConfig": "crosstalk_tpu.config",
+    "TrainConfig": "crosstalk_tpu.config",
+    # data
+    "PairIndex": "crosstalk_tpu.data",
+    "Sample": "crosstalk_tpu.data",
+    "split_samples": "crosstalk_tpu.data",
+    "read_tile": "crosstalk_tpu.data",
+    "TileStore": "crosstalk_tpu.data",
+    "DeviceDataset": "crosstalk_tpu.data",
+    "Batch": "crosstalk_tpu.data",
+    # models
+    "build_model": "crosstalk_tpu.models",
+    "init_model": "crosstalk_tpu.models",
+    "count_params": "crosstalk_tpu.models",
+    "SingleBranchRegressor": "crosstalk_tpu.models",
+    "TwoBranchRegressor": "crosstalk_tpu.models",
+    # train
+    "train_model": "crosstalk_tpu.train",
+    "TrainState": "crosstalk_tpu.train",
+    "init_train_state": "crosstalk_tpu.train",
+    "make_train_step": "crosstalk_tpu.train",
+    "make_val_step": "crosstalk_tpu.train",
+    "make_optimizer": "crosstalk_tpu.train",
+    # eval / serving
+    "evaluate": "crosstalk_tpu.eval",
+    "evaluate_and_save": "crosstalk_tpu.eval",
+    "make_fast_forward": "crosstalk_tpu.eval",
+    # checkpoint / interop
+    "save_checkpoint": "crosstalk_tpu.io",
+    "load_checkpoint": "crosstalk_tpu.io",
+    "load_pth": "crosstalk_tpu.io",
+    "save_pth": "crosstalk_tpu.io",
+    "torch_to_flax": "crosstalk_tpu.io",
+    "flax_to_torch": "crosstalk_tpu.io",
+    "export_serving_model": "crosstalk_tpu.io",
+    "load_exported": "crosstalk_tpu.io",
+}
+
+__all__ = sorted(_PUBLIC_API) + ["__version__"]
+
+
+def __getattr__(name: str):
+    module = _PUBLIC_API.get(name)
+    if module is None:
+        raise AttributeError(f"module 'crosstalk_tpu' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(module), name)
+
+
+def __dir__():
+    return __all__

@@ -1,4 +1,13 @@
 from crosstalk_tpu.data.index import PairIndex, Sample, split_samples
+from crosstalk_tpu.data.pipeline import (
+    Batch,
+    DeviceDataset,
+    TileStore,
+    device_prefetch,
+    iterate_batches,
+    load_tiles,
+    num_batches,
+)
 from crosstalk_tpu.data.tiff import read_tile
 from crosstalk_tpu.data.transforms import normalize_tile, paired_random_flips
 
@@ -9,4 +18,11 @@ __all__ = [
     "read_tile",
     "normalize_tile",
     "paired_random_flips",
+    "Batch",
+    "TileStore",
+    "DeviceDataset",
+    "load_tiles",
+    "iterate_batches",
+    "num_batches",
+    "device_prefetch",
 ]

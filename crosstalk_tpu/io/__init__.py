@@ -1,0 +1,31 @@
+from crosstalk_tpu.io.checkpoint import (
+    AsyncCheckpointWriter,
+    load_checkpoint,
+    save_checkpoint,
+)
+from crosstalk_tpu.io.export import (
+    export_serving_model,
+    load_exported,
+    read_exported,
+    save_exported,
+)
+from crosstalk_tpu.io.torch_convert import (
+    flax_to_torch,
+    load_pth,
+    save_pth,
+    torch_to_flax,
+)
+
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "AsyncCheckpointWriter",
+    "torch_to_flax",
+    "flax_to_torch",
+    "load_pth",
+    "save_pth",
+    "export_serving_model",
+    "save_exported",
+    "read_exported",
+    "load_exported",
+]
