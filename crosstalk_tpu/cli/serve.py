@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "(default 1; batch_size must divide it)")
     parser.add_argument("--request_timeout", type=float, default=120.0,
                         help="Per-request result timeout, seconds")
+    parser.add_argument("--io_timeout", type=float, default=60.0,
+                        help="Per-connection socket read timeout, seconds "
+                             "(frees handler threads from clients that "
+                             "stall mid-body or idle on keep-alive)")
     parser.add_argument("--transport_dtype", type=str, default="float32",
                         choices=["float32", "float16"],
                         help="Dtype of the assembled device batch. float16 "
@@ -257,6 +261,7 @@ def main(argv=None) -> int:
                          else "float32"),
         reload_fn=reload_fn,
         bucket_sizes=buckets,
+        io_timeout=args.io_timeout,
     )
     host, port = server.address
     endpoints = "POST /predict, GET /healthz, GET /stats, GET /metrics" + (

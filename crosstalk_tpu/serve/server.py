@@ -135,6 +135,15 @@ class _Handler(BaseHTTPRequestHandler):
     # set on the server instance: batcher, model_info, tile_hw
     protocol_version = "HTTP/1.1"
 
+    def setup(self):
+        # Socket read timeout: without it, a client that sends headers but
+        # never the body (or an idle keep-alive connection) pins one handler
+        # thread forever — a trivial slow-loris DoS on ThreadingHTTPServer.
+        # BaseHTTPRequestHandler treats a timed-out request line as
+        # end-of-connection; mid-body timeouts get a 408 in do_POST.
+        self.timeout = self.server.io_timeout
+        super().setup()
+
     def _send_json(self, code: int, payload: Dict) -> None:
         body = json.dumps(payload).encode()
         self.send_response(code)
@@ -220,7 +229,15 @@ class _Handler(BaseHTTPRequestHandler):
         if length <= 0 or length > self.server.max_body_bytes:
             self._send_json(400, {"error": f"bad Content-Length: {length}"})
             return
-        body = self.rfile.read(length)
+        try:
+            body = self.rfile.read(length)
+        except TimeoutError:
+            self._send_json(
+                408,
+                {"error": "timed out reading the request body "
+                          f"({self.server.io_timeout}s)"},
+            )
+            return
         try:
             tiles = _decode_request(
                 body, self.server.tile_hw, self.server.max_tiles
@@ -258,6 +275,10 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             req = json.loads(self.rfile.read(length))
             path = req["model_path"]
+        except TimeoutError:
+            self._send_json(
+                408, {"error": "timed out reading the request body"})
+            return
         except (ValueError, KeyError, TypeError) as e:
             self._send_json(
                 400, {"error": "body must be JSON with a 'model_path' key: "
@@ -306,6 +327,7 @@ class CrosstalkServer:
         transport_dtype="float32",
         reload_fn=None,
         bucket_sizes=None,
+        io_timeout: float = 60.0,
     ):
         # ``reload_fn(model_path) -> (predict_fn, model_info)`` enables the
         # POST /reload endpoint (zero-downtime checkpoint hot-swap). Loading
@@ -331,6 +353,8 @@ class CrosstalkServer:
         self._httpd.max_tiles = int(max_tiles)
         self._httpd.reload_fn = reload_fn
         self._httpd.reload_lock = threading.Lock()
+        # per-connection socket read timeout (slow-loris guard); None disables
+        self._httpd.io_timeout = io_timeout
         self._thread: Optional[threading.Thread] = None
 
     @property

@@ -868,3 +868,51 @@ def test_hot_reload_endpoint():
         assert client.stats()["reloads"] == 1
     finally:
         server.shutdown()
+
+
+def test_io_timeout_frees_stalled_connections():
+    """Slow-loris guard: a client that sends headers but never the body (or
+    idles on a keep-alive connection) must not pin a handler thread forever
+    — the socket read times out, the stalled POST gets a 408, and the
+    server keeps serving."""
+    import socket
+
+    from crosstalk_tpu.serve.server import CrosstalkServer
+
+    server = CrosstalkServer(_mean_predict, batch_size=4, image_size=8,
+                             port=0, max_delay_ms=1.0, io_timeout=1.0)
+    server.start_background()
+    host, port = server.address
+    try:
+        # 1) headers claim a body that never arrives -> 408, connection closed
+        s = socket.create_connection((host, port), timeout=10)
+        s.sendall(b"POST /predict HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: 50\r\n\r\n")
+        t0 = time.monotonic()
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+        assert time.monotonic() - t0 < 8.0
+        assert b"408" in resp.split(b"\r\n", 1)[0], resp[:200]
+        s.close()
+
+        # 2) an idle connection (no request line) is reaped, not held open
+        idle = socket.create_connection((host, port), timeout=10)
+        assert idle.recv(4096) == b""  # server closed it after io_timeout
+        idle.close()
+
+        # 3) the server still serves normal requests afterwards
+        tiles = np.random.default_rng(3).random((2, 8, 8, 2), np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, tiles=tiles)
+        req = urllib.request.Request(
+            f"http://{host}:{port}/predict", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.loads(r.read())
+        assert out["n"] == 2
+    finally:
+        server.shutdown()
