@@ -362,8 +362,13 @@ def main(argv=None) -> int:
         device_data = mesh is None and split_bytes <= 8 << 30
     else:
         device_data = False
+    device_datasets = {}
     if device_data:
         print("Data placement: HBM-resident (one upload, on-device batching)")
+        device_datasets = {
+            "train": DeviceDataset(stores["train"]),
+            "val": DeviceDataset(stores["val"]),
+        }
 
     print("\nStarting training with validation...")
     with maybe_trace(args.profile):
@@ -371,7 +376,11 @@ def main(argv=None) -> int:
             model, state, stores["train"], stores["val"],
             optim_cfg, train_cfg, run_dir, ts, args.model_options, tx,
             mesh=mesh, seed=args.seed, resume=bool(args.resume),
-            naming_batch_size=args.batch_size, device_data=device_data,
+            naming_batch_size=args.batch_size,
+            device_data=(
+                (device_datasets["train"], device_datasets["val"])
+                if device_data else False
+            ),
         )
     print("Training finished!")
 
@@ -406,8 +415,12 @@ def main(argv=None) -> int:
     suffix = f"{ts2}_{args.batch_size}_{args.learning_rate}"
     for split in ("test", "train", "val"):
         print(f"\n--- Evaluating Model on {split.capitalize()} Set ---")
-        # device-resident runs evaluate from HBM too (one upload per split)
-        eval_store = DeviceDataset(stores[split]) if device_data else stores[split]
+        # device-resident runs evaluate from HBM too, reusing the train/val
+        # copies train_model already uploaded (test needs its one upload)
+        if device_data:
+            eval_store = device_datasets.get(split) or DeviceDataset(stores[split])
+        else:
+            eval_store = stores[split]
         evaluate_and_save(
             eval_model, loaded, eval_store,
             dataset_name=split, output_dir=run_dir, ts=ts2,

@@ -48,9 +48,12 @@ class CrosstalkClient:
         ``dtype`` casts the payload before upload; ``"float16"`` halves the
         wire size (the production default recommendation — the dominant
         serving cost in bandwidth-limited deployments is the upload, see
-        PERF_NOTES "Online serving stack"). The server min-max normalizes
-        per tile on device, so the f16 quantization of raw intensities
-        perturbs predictions only at the ~1e-3 alpha level. Omit (None)
+        PERF_NOTES "Online serving stack"). f16 payloads are first rescaled
+        per (tile, channel) to [0, 1] (serve/wire.py) — the server's
+        on-device min-max normalize is exactly invariant under that, and a
+        direct cast would overflow raw counts above 65504 (a saturated
+        16-bit pixel) into inf/NaN predictions. Net perturbation is the f16
+        quantization of normalized values, ~1e-3 on alpha. Omit (None)
         to send the arrays' own dtype, e.g. for f32 parity checks.
 
         ``chunk`` splits a large request into sequential posts of at most
@@ -59,12 +62,26 @@ class CrosstalkClient:
         server's batch size stays under both and bounds per-post memory).
         Results concatenate in order, so the caller sees one (n,) array.
         """
-        cast = (lambda a: np.asarray(a, dtype)) if dtype else np.asarray
+        if dtype is not None and np.dtype(dtype) == np.float16:
+            from crosstalk_tpu.serve.wire import to_f16_wire
+
+            # spatial axes: all but a leading batch dim / trailing channel dim
+            def cast(a, channels):
+                a = np.asarray(a)
+                nd = a.ndim - (1 if channels else 0)
+                axes = (0, 1) if nd == 2 else (1, 2)
+                return to_f16_wire(a, axes)
+        elif dtype is not None:
+            def cast(a, channels):
+                return np.asarray(a, dtype)
+        else:
+            def cast(a, channels):
+                return np.asarray(a)
         if source is None:
-            arrays = {"tiles": cast(mixed)}
+            arrays = {"tiles": cast(mixed, True)}
             n = 1 if arrays["tiles"].ndim == 3 else arrays["tiles"].shape[0]
         else:
-            arrays = {"mixed": cast(mixed), "source": cast(source)}
+            arrays = {"mixed": cast(mixed, False), "source": cast(source, False)}
             n = 1 if arrays["mixed"].ndim == 2 else arrays["mixed"].shape[0]
         if chunk is not None and chunk > 0 and n > chunk:
             parts = [

@@ -51,6 +51,11 @@ def _check_decoded_size(body: bytes, tile_hw, max_tiles: int) -> None:
     import zipfile
 
     max_elements = int(max_tiles) * tile_hw[0] * tile_hw[1] * 2
+    # byte budget: the element cap at float64 width (the widest sane
+    # payload). Bounding BYTES, not elements, closes the wide-dtype bypass:
+    # a tiny compressed member declaring e.g. a ('V1048576',) structured
+    # dtype would pass an element-count check yet decode to gigabytes.
+    max_bytes = max_elements * 8
     try:
         with zipfile.ZipFile(io.BytesIO(body)) as zf:
             names = zf.namelist()
@@ -60,13 +65,15 @@ def _check_decoded_size(body: bytes, tile_hw, max_tiles: int) -> None:
                 with zf.open(name) as fp:
                     version = np.lib.format.read_magic(fp)
                     if version == (1, 0):
-                        shape, _, _ = np.lib.format.read_array_header_1_0(fp)
+                        shape, _, dt = np.lib.format.read_array_header_1_0(fp)
                     elif version == (2, 0):
-                        shape, _, _ = np.lib.format.read_array_header_2_0(fp)
+                        shape, _, dt = np.lib.format.read_array_header_2_0(fp)
                     else:
                         raise ValueError(
                             f"unsupported .npy format version {version}"
                         )
+                if dt.hasobject:
+                    raise ValueError(f"member {name!r} has object dtype")
                 elements = 1
                 for dim in shape:
                     elements *= int(dim)
@@ -76,27 +83,40 @@ def _check_decoded_size(body: bytes, tile_hw, max_tiles: int) -> None:
                         f"({elements:,} elements); the request cap is "
                         f"{max_tiles} tiles ({max_elements:,} elements)"
                     )
+                if elements * dt.itemsize > max_bytes:
+                    raise ValueError(
+                        f"member {name!r} ({shape}, dtype {dt}) would decode "
+                        f"to {elements * dt.itemsize:,} bytes; the request "
+                        f"cap is {max_bytes:,}"
+                    )
     except ValueError:
         raise
     except Exception as e:
         raise ValueError(f"body is not a readable .npz archive: {e}")
 
 
-def _decode_request(body: bytes, tile_hw, max_tiles: int) -> np.ndarray:
-    """npz bytes -> (n, H, W, 2) float32 tiles. Raises ValueError.
+def _decode_request(
+    body: bytes, tile_hw, max_tiles: int, transport_dtype=np.float32
+) -> np.ndarray:
+    """npz bytes -> (n, H, W, 2) ``transport_dtype`` tiles. Raises ValueError.
 
     Accepts any numeric payload dtype (float16 halves the wire size and is
-    the recommended production format — see client.predict(dtype=...));
-    everything is cast to float32 before the device sees it.
+    the recommended production format — see client.predict(dtype=...)).
+    The result is cast ONCE, straight to the batcher's transport dtype (an
+    f16 payload on an f16-transport server passes through copy-free; the
+    old decode-to-f32-then-recast allocated a throwaway f32 copy of every
+    request on the hot path). Downcasting a wider payload to f16 rescales
+    per (tile, channel) first (serve/wire.py) — a direct cast would
+    overflow raw counts above 65504.
     """
+    transport_dtype = np.dtype(transport_dtype)
     _check_decoded_size(body, tile_hw, max_tiles)
     try:
         with np.load(io.BytesIO(body)) as npz:
             if "tiles" in npz:
-                tiles = np.asarray(npz["tiles"], np.float32)
+                tiles = npz["tiles"]
             elif "mixed" in npz and "source" in npz:
-                mixed = np.asarray(npz["mixed"], np.float32)
-                source = np.asarray(npz["source"], np.float32)
+                mixed, source = npz["mixed"], npz["source"]
                 if mixed.shape != source.shape:
                     raise ValueError(
                         f"mixed {mixed.shape} and source {source.shape} "
@@ -110,6 +130,8 @@ def _decode_request(body: bytes, tile_hw, max_tiles: int) -> np.ndarray:
                     "npz must contain 'tiles' (n, H, W, 2) or "
                     "'mixed' + 'source' (n, H, W)"
                 )
+            if tiles.dtype.kind not in "fiu":
+                raise ValueError(f"tiles dtype {tiles.dtype} is not numeric")
     except ValueError:
         raise
     except Exception as e:
@@ -128,7 +150,19 @@ def _decode_request(body: bytes, tile_hw, max_tiles: int) -> np.ndarray:
             f"request holds {tiles.shape[0]} tiles, cap is {max_tiles}; "
             "split into smaller requests"
         )
-    return tiles
+    if tiles.dtype.kind == "f" and not np.isfinite(tiles).all():
+        raise ValueError(
+            "tiles contain non-finite values (inf/NaN); the per-tile "
+            "min-max normalize would propagate them into every prediction "
+            "of the tile"
+        )
+    if tiles.dtype == transport_dtype:
+        return tiles
+    if transport_dtype == np.float16 and tiles.dtype.itemsize > 2:
+        from crosstalk_tpu.serve.wire import to_f16_wire
+
+        return to_f16_wire(tiles, (1, 2))
+    return np.asarray(tiles, transport_dtype)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -240,7 +274,8 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             tiles = _decode_request(
-                body, self.server.tile_hw, self.server.max_tiles
+                body, self.server.tile_hw, self.server.max_tiles,
+                self.server.transport_dtype,
             )
             alphas = self.server.batcher.submit(tiles).result(
                 timeout=self.server.request_timeout
@@ -351,6 +386,7 @@ class CrosstalkServer:
         self._httpd.verbose = verbose
         self._httpd.max_body_bytes = int(max_body_bytes)
         self._httpd.max_tiles = int(max_tiles)
+        self._httpd.transport_dtype = np.dtype(transport_dtype)
         self._httpd.reload_fn = reload_fn
         self._httpd.reload_lock = threading.Lock()
         # per-connection socket read timeout (slow-loris guard); None disables

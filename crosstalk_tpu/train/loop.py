@@ -76,7 +76,11 @@ def train_model(
     ``device_data`` places both splits HBM-resident (pipeline.DeviceDataset):
     one upload, zero per-step H2D traffic. Identical batch sequence and
     numerics to the host path (same shuffle permutation; gathers are exact).
-    Single-device only — with a mesh the sharded host pipeline is used."""
+    Single-device only — with a mesh the sharded host pipeline is used.
+    Pass an already-built ``(train DeviceDataset, val DeviceDataset)`` tuple
+    instead of ``True`` to reuse existing device-resident copies (the train
+    CLI does, so its post-training evaluation doesn't re-upload the splits
+    train_model already placed in HBM)."""
     batch_size = train_cfg.batch_size
     naming_bs = naming_batch_size if naming_batch_size is not None else batch_size
     if batch_size <= 0:
@@ -102,8 +106,11 @@ def train_model(
             "each process's shard through the host pipeline"
         )
     if device_data:
-        train_data = DeviceDataset(train_store)
-        val_data = DeviceDataset(val_store)
+        if isinstance(device_data, tuple):
+            train_data, val_data = device_data
+        else:
+            train_data = DeviceDataset(train_store)
+            val_data = DeviceDataset(val_store)
 
         def train_batches(epoch):
             return train_data.batches(

@@ -916,3 +916,115 @@ def test_io_timeout_frees_stalled_connections():
         assert out["n"] == 2
     finally:
         server.shutdown()
+
+
+def test_f16_wire_survives_saturated_16bit_intensities(running_server):
+    """Raw counts above float16's max (65504) — e.g. a saturated 16-bit
+    pixel at 65535 — must NOT become inf/NaN on the f16 wire. The client
+    rescales per (tile, channel) to [0, 1] before casting (serve/wire.py);
+    the on-device min-max normalize is exactly invariant under that, so
+    predictions match the f32 path within the quantization budget."""
+    from crosstalk_tpu.serve.client import CrosstalkClient
+
+    url, _, _ = running_server
+    client = CrosstalkClient(url)
+    rng = np.random.default_rng(13)
+    mixed = rng.random((3, 32, 32)) * 65535.0  # saturating 16-bit range
+    source = rng.random((3, 32, 32)) * 100000.0  # beyond it entirely
+    golden = client.predict(mixed, source, dtype="float32")
+    got = client.predict(mixed, source, dtype="float16")
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, golden, atol=2e-3)
+    # stacked (n, H, W, 2) input takes the same safe path
+    tiles = np.stack([mixed, source], axis=-1)
+    got2 = client.predict(tiles, dtype="float16")
+    np.testing.assert_allclose(got2, golden, atol=2e-3)
+
+
+def test_decode_request_casts_once_to_transport_dtype():
+    """Server-side decode goes straight to the batcher's transport dtype:
+    f16 payload on an f16 server passes through without an f32 detour, and
+    a wide payload downcast to f16 rescales instead of overflowing."""
+    from crosstalk_tpu.serve.server import _decode_request
+
+    rng = np.random.default_rng(5)
+    raw = (rng.random((2, 8, 8, 2)) * 100000.0).astype(np.float32)
+
+    buf = io.BytesIO()
+    np.savez(buf, tiles=raw)
+    out = _decode_request(buf.getvalue(), (8, 8), 16, np.float16)
+    assert out.dtype == np.float16
+    assert np.isfinite(out.astype(np.float32)).all()
+    assert out.astype(np.float32).max() <= 1.0
+
+    f16 = (raw / raw.max()).astype(np.float16)
+    buf = io.BytesIO()
+    np.savez(buf, tiles=f16)
+    out = _decode_request(buf.getvalue(), (8, 8), 16, np.float16)
+    assert out.dtype == np.float16
+    np.testing.assert_array_equal(out, f16)
+
+
+def test_decode_request_rejects_wide_dtype_bombs_and_nonfinite():
+    """The zip-bomb guard bounds BYTES, not just elements: a tiny compressed
+    body declaring float64/structured members at the element cap must be
+    rejected before np.load materializes gigabytes. Non-finite payloads are
+    rejected too (min-max normalize would propagate NaN into predictions)."""
+    from crosstalk_tpu.serve.server import _decode_request
+
+    max_tiles = 4
+    hw = (8, 8)
+
+    # float64 members at the element cap: allowed byte budget is 8B/elem,
+    # so exactly at cap passes the size guard (shape check rejects later) —
+    # but a structured dtype with a big itemsize must be caught.
+    big_item = np.zeros((max_tiles, 8, 8, 2), dtype=[("v", "V256")])
+    buf = io.BytesIO()
+    np.savez_compressed(buf, tiles=big_item)
+    with pytest.raises(ValueError, match="bytes|dtype"):
+        _decode_request(buf.getvalue(), hw, max_tiles)
+
+    # object dtype is rejected at the header, never unpickled
+    obj = np.empty((2, 2), dtype=object)
+    obj.fill(None)
+    buf = io.BytesIO()
+    import zipfile
+
+    with zipfile.ZipFile(buf, "w") as zf:
+        member = io.BytesIO()
+        np.lib.format.write_array(member, obj, allow_pickle=True)
+        zf.writestr("tiles.npy", member.getvalue())
+    with pytest.raises(ValueError, match="object dtype"):
+        _decode_request(buf.getvalue(), hw, max_tiles)
+
+    # non-finite values -> clean 400-path ValueError, not NaN predictions
+    bad = np.full((1, 8, 8, 2), np.inf, np.float32)
+    buf = io.BytesIO()
+    np.savez(buf, tiles=bad)
+    with pytest.raises(ValueError, match="non-finite"):
+        _decode_request(buf.getvalue(), hw, max_tiles)
+
+
+def test_to_f16_wire_is_invariant_under_device_normalize():
+    """normalize(to_f16_wire(x)) == normalize(x) up to f16 quantization —
+    the property that makes the f16 wire format safe."""
+    import jax.numpy as jnp
+
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.serve.wire import to_f16_wire
+
+    rng = np.random.default_rng(3)
+    raw = (rng.random((3, 8, 8, 2)) * 87000.0 - 1000.0).astype(np.float32)
+    raw[1, :, :, 0] = 70000.0  # constant plane beyond f16 range
+
+    wire = to_f16_wire(raw, (1, 2))
+    assert wire.dtype == np.float16
+    assert np.isfinite(wire.astype(np.float32)).all()
+
+    a = np.asarray(normalize_batch_nhwc(jnp.asarray(raw)))
+    b = np.asarray(normalize_batch_nhwc(jnp.asarray(wire, jnp.float32)))
+    # constant planes pass through (clipped into f16 range), varying planes
+    # match to f16 resolution
+    np.testing.assert_allclose(b[0], a[0], atol=2e-3)
+    np.testing.assert_allclose(b[2], a[2], atol=2e-3)
+    assert float(b[1, 0, 0, 0]) == pytest.approx(65504.0)

@@ -301,3 +301,45 @@ def test_evaluate_device_dataset_matches_tilestore(synthetic_data_dirs):
             assert rh.keys() == rd.keys()
             for k in rh:
                 np.testing.assert_array_equal(rh[k], rd[k], err_msg=k)
+
+
+def test_train_loop_accepts_prebuilt_device_datasets(synthetic_data_dirs,
+                                                     tmp_path, monkeypatch):
+    """Passing pre-built (train, val) DeviceDatasets reuses them — no second
+    HBM upload (the train CLI relies on this for its post-training eval)."""
+    import os
+
+    import jax
+
+    from crosstalk_tpu.config import ModelConfig, OptimConfig, TrainConfig
+    from crosstalk_tpu.data.pipeline import DeviceDataset
+    from crosstalk_tpu.models import build_model, init_model
+    from crosstalk_tpu.train import loop as loop_mod
+    from crosstalk_tpu.train.steps import init_train_state, make_optimizer
+
+    mixed_dir, source_dir = synthetic_data_dirs
+    index = PairIndex(mixed_dir, source_dir)
+    store = TileStore(index.samples[:8], jobs=1)
+    val = TileStore(index.samples[8:], jobs=1)
+    prebuilt = (DeviceDataset(store), DeviceDataset(val))
+
+    def _no_new_uploads(*a, **k):
+        raise AssertionError("train_model must reuse the pre-built datasets")
+
+    monkeypatch.setattr(loop_mod, "DeviceDataset", _no_new_uploads)
+
+    cfg = ModelConfig(variant="single", initial_filters=4, num_conv_blocks=2,
+                      compute_dtype="f32")
+    model = build_model(cfg)
+    optim_cfg = OptimConfig(learning_rate=1e-3, scheduler="aggressive_plateau")
+    tx = make_optimizer(optim_cfg)
+    variables = init_model(model, jax.random.key(0), image_size=32)
+    state = init_train_state(model, variables, tx)
+    run_dir = str(tmp_path / "run_prebuilt")
+    os.makedirs(run_dir, exist_ok=True)
+    _, tl, vl = loop_mod.train_model(
+        model, state, store, val, optim_cfg, TrainConfig(batch_size=4,
+                                                         num_epochs=1),
+        run_dir, "ts", "single", tx, mesh=None, seed=3, device_data=prebuilt,
+    )
+    assert len(tl) == 1 and len(vl) == 1

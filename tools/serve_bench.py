@@ -75,8 +75,10 @@ def main(argv=None) -> int:
         variables = init_model(build_model(cfg), jax.random.key(0),
                                image_size=args.image_size)
 
-    buckets = (sorted({int(b) for b in args.batch_buckets.split(",")})
-               if args.batch_buckets else None)
+    buckets = (
+        sorted({int(b) for b in args.batch_buckets.split(",") if b.strip()})
+        if args.batch_buckets else None
+    ) or None
     print(f"Compiling (batch {args.batch_size}"
           + (f" + buckets {buckets}" if buckets else "")
           + f", {'f32' if args.parity else 'bf16'}, "
