@@ -118,7 +118,15 @@ def _parse_raw_tiff_inner(buf: bytes) -> Optional[np.ndarray]:
 
     expected = width * height * np.dtype(dtype).itemsize
     if counts is None:
+        # StripByteCounts missing (or its out-of-line array unreadable):
+        # only a single-strip file can be decoded without it. A multi-strip
+        # file must NOT zip-truncate to strip 0 — that reads inter-strip
+        # bytes as pixels with the right total length; fall back instead.
+        if len(offsets) != 1:
+            return None
         counts = [expected]
+    if len(counts) != len(offsets):
+        return None
     if sum(counts) != expected:
         return None
 

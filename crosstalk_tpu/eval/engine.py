@@ -43,11 +43,13 @@ def _eval_step(apply_fn, variables, inputs, labels, mask, with_metrics: bool):
     sq_err = jnp.square(preds - labels)[:, 0] * mask
     out = {"preds": preds[:, 0], "sq_err": sq_err}
     if with_metrics:
-        # Zero the padding rows: the pad tiles are constant, so the
-        # correlation metrics' reference-exact NaN guards would fire for
-        # them and make every padded tail batch abort under --debug_nans
-        # (jax_debug_nans). Padded rows never reach the CSV; real constant
-        # tiles keep their reference-semantics NaN.
+        # Zero the padding rows. Pad rows are index-0 duplicates
+        # (pipeline.iterate_batches / DeviceDataset.batches), so their
+        # metric values are real numbers that would otherwise be easy to
+        # mistake for extra samples in downstream aggregation; zeroing
+        # makes "never reaches the CSV" visible in the arrays themselves.
+        # Real constant tiles keep their reference-semantics NaN (and under
+        # --debug_nans abort on their REAL row, padded or not).
         out.update({
             k: jnp.where(mask > 0, v, 0.0)
             for k, v in classical_metrics(batch).items()

@@ -49,7 +49,15 @@ def _conv_w_inv(k: np.ndarray) -> np.ndarray:
 
 
 def _first_dense_w(t: np.ndarray, channels: int) -> np.ndarray:
-    """(out, C*H*W) torch kernel -> (H*W*C, out) flax kernel."""
+    """(out, C*H*W) torch kernel -> (H*W*C, out) flax kernel.
+
+    The feature map is assumed SQUARE (H == W == isqrt(flat/C)) — true for
+    every config this framework or the reference instantiates (square
+    image_size throughout; reference train_model.py:534-537). A checkpoint
+    from a rectangular-tile training run whose H*W happens to be a perfect
+    square would reshape with the wrong dims here and scramble silently —
+    the state_dict alone cannot disambiguate, so don't feed rectangular
+    checkpoints through this converter."""
     out, flat = t.shape
     hw = flat // channels
     side = int(math.isqrt(hw))
@@ -63,9 +71,12 @@ def _first_dense_w(t: np.ndarray, channels: int) -> np.ndarray:
 
 
 def _first_dense_w_inv(k: np.ndarray, channels: int) -> np.ndarray:
+    """Inverse of ``_first_dense_w`` (same square-feature-map assumption)."""
     flat, out = k.shape
     hw = flat // channels
     side = int(math.isqrt(hw))
+    if side * side != hw:
+        raise ValueError(f"non-square flatten: {flat} / {channels} channels")
     return (
         k.reshape(side, side, channels, out)
         .transpose(3, 2, 0, 1)

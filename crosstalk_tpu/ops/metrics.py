@@ -70,12 +70,27 @@ def rmse(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.mean(jnp.square(img1 - img2), axis=(-2, -1)))
 
 
+def _edge_rows(lo, hi, num: int) -> jnp.ndarray:
+    """Per-sample np.linspace(lo, hi, num) edge rows: lo + step*k with the
+    endpoint forced exact — the same construction np.histogram/np.digitize
+    compare against, so edge corrections below use the same values."""
+    step = (hi - lo) / (num - 1)
+    k = jnp.arange(num, dtype=jnp.float32)
+    edges = lo + step * k
+    return jnp.concatenate([edges[..., :-1], hi], axis=-1)
+
+
 def _histogram_256(img: jnp.ndarray) -> jnp.ndarray:
     """np.histogram(x, bins=256) over each sample's own [min, max] range.
 
-    Bin index = floor((x - min) / width); the max value belongs to the last
-    bin (NumPy's right-closed final bin). Computed as a one-hot matmul-free
-    scatter via bincount-style segment sums, vectorized over the batch.
+    Bin index = floor((x - min) / width), then NumPy's edge-correction pass:
+    the scaled floor can land one bin off for values sitting exactly on a
+    bin edge (real microscopy data is grid-quantized, so edge collisions are
+    systematic, not rare), so indices are checked against the actual
+    linspace edge values exactly as np.histogram's uniform-bin fast path
+    does. The max value belongs to the last bin (right-closed final bin).
+    Computed as a one-hot scatter via bincount-style segment sums,
+    vectorized over the batch.
     """
     x = _flat(img)
     lo = jnp.min(x, axis=-1, keepdims=True)
@@ -83,6 +98,14 @@ def _histogram_256(img: jnp.ndarray) -> jnp.ndarray:
     span = jnp.where(hi > lo, hi - lo, 1.0)
     idx = jnp.clip(
         jnp.floor((x - lo) / span * _NBINS).astype(jnp.int32), 0, _NBINS - 1
+    )
+    edges = _edge_rows(lo, hi, _NBINS + 1)  # (B, 257)
+    idx = jnp.where(jnp.take_along_axis(edges, idx, axis=-1) > x, idx - 1, idx)
+    idx = jnp.where(
+        (jnp.take_along_axis(edges, idx + 1, axis=-1) <= x)
+        & (idx != _NBINS - 1),
+        idx + 1,
+        idx,
     )
     # constant image: np.histogram widens the degenerate range to
     # [v - 0.5, v + 0.5], landing every count in the middle bin (128)
@@ -141,15 +164,32 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, data_range: jnp.ndarray) -> jnp.n
 
 def _digitize_256(img: jnp.ndarray) -> jnp.ndarray:
     """np.digitize(x, linspace(min, max, 256)): right-open bins, so x == min
-    -> 1 and x == max -> 256; 256 distinct labels mapped here to 0..255."""
+    -> 1 and x == max -> 256; 256 distinct labels mapped here to 0..255.
+
+    digitize(x) counts edges <= x, so a value sitting EXACTLY on edge k must
+    yield k+1 — but the scaled floor can compute fractionally below k for
+    such values (systematic on grid-quantized data, where pixel values
+    coincide with edges). Corrected against the actual linspace edge values,
+    the comparison np.digitize (searchsorted) performs."""
     x = _flat(img)
     lo = jnp.min(x, axis=-1, keepdims=True)
     hi = jnp.max(x, axis=-1, keepdims=True)
     span = jnp.where(hi > lo, hi - lo, 1.0)
-    # edges are linspace(lo, hi, 256) -> 255 intervals of width span/255;
-    # digitize(x) = #edges <= x = floor((x-lo)/width) + 1, capped at 256.
-    idx = jnp.floor((x - lo) / span * (_NBINS - 1)).astype(jnp.int32) + 1
-    return jnp.clip(idx, 1, _NBINS) - 1  # 0..255
+    cand = jnp.clip(
+        jnp.floor((x - lo) / span * (_NBINS - 1)).astype(jnp.int32),
+        0, _NBINS - 1,
+    )
+    edges = _edge_rows(lo, hi, _NBINS)  # (B, 256)
+    # largest k with edges[k] <= x, starting from the floor candidate
+    k = jnp.where(jnp.take_along_axis(edges, cand, axis=-1) > x, cand - 1, cand)
+    nxt = jnp.clip(cand + 1, 0, _NBINS - 1)
+    k = jnp.where(
+        (jnp.take_along_axis(edges, nxt, axis=-1) <= x) & (cand != _NBINS - 1),
+        cand + 1,
+        k,
+    )
+    # labels = digitize - 1 = k (x >= lo = edges[0] keeps k >= 0)
+    return jnp.clip(k, 0, _NBINS - 1)
 
 
 def nmi(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:

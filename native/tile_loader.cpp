@@ -81,9 +81,19 @@ uint32_t tag_value(const std::vector<uint8_t>& buf, const Tag& tag) {
 // Convert raw pixel data to float32. Returns false on unsupported dtype.
 bool convert(const uint8_t* src, uint32_t n, uint16_t fmt, uint16_t bits,
              float* dst) {
+  // NOTE: strip data can start at ANY file offset, so src may be
+  // misaligned for the element type. Per-element memcpy (not
+  // reinterpret_cast + deref) keeps this well-defined: the -O3
+  // -march=native build auto-vectorizes these loops, and a cast-based
+  // loop lets the vectorizer assume natural alignment (its alignment
+  // peeling then faults on a misaligned strip). memcpy compiles to
+  // unaligned loads at the same speed.
   if (fmt == 3 && bits == 64) {
-    const double* s = reinterpret_cast<const double*>(src);
-    for (uint32_t i = 0; i < n; ++i) dst[i] = static_cast<float>(s[i]);
+    for (uint32_t i = 0; i < n; ++i) {
+      double v;
+      std::memcpy(&v, src + 8 * static_cast<size_t>(i), 8);
+      dst[i] = static_cast<float>(v);
+    }
     return true;
   }
   if (fmt == 3 && bits == 32) {
@@ -91,8 +101,11 @@ bool convert(const uint8_t* src, uint32_t n, uint16_t fmt, uint16_t bits,
     return true;
   }
   if (fmt == 1 && bits == 16) {
-    const uint16_t* s = reinterpret_cast<const uint16_t*>(src);
-    for (uint32_t i = 0; i < n; ++i) dst[i] = static_cast<float>(s[i]);
+    for (uint32_t i = 0; i < n; ++i) {
+      uint16_t v;
+      std::memcpy(&v, src + 2 * static_cast<size_t>(i), 2);
+      dst[i] = static_cast<float>(v);
+    }
     return true;
   }
   if (fmt == 1 && bits == 8) {
@@ -154,10 +167,9 @@ int decode_tiff(const char* path, float* dst, int64_t stride,
           // offsets), not just the first — otherwise a 2-strip file with
           // inline offsets would silently decode from strip 0 only.
           for (uint32_t k = 0; k < tag.count; ++k) {
+            // size is 2 or 4 here (the type gate above rejects the rest)
             if (size == 2)
               out.push_back((tag.value_or_offset >> (16 * k)) & 0xffff);
-            else if (size == 1)
-              out.push_back((tag.value_or_offset >> (8 * k)) & 0xff);
             else
               out.push_back(tag.value_or_offset);
           }

@@ -144,3 +144,39 @@ def test_constant_image_nan_guards():
     m2 = {k: np.asarray(v) for k, v in classical_metrics(jnp.asarray(both_const)).items()}
     assert np.isnan(m2["Pearsons Correlation"][0])
     np.testing.assert_allclose(m2["Normalized Mutual Information"], 1.0)
+
+
+def test_metrics_match_reference_on_grid_quantized_data():
+    """Real microscopy data is grid-quantized (integer sensor counts), so
+    pixel values land EXACTLY on histogram/digitize bin edges systematically
+    — the case where a scaled-floor bin assignment without NumPy's
+    edge-correction pass is one bin off (caught by the round-3 review;
+    before the fix np.digitize parity failed on every such tile)."""
+    rng = np.random.default_rng(42)
+    # f32-exact grid: integer counts scaled by a power of two
+    a = (rng.integers(0, 50, (3, 32, 32)) * 8.0 + 4.0).astype(np.float32)
+    b = (rng.integers(0, 50, (3, 32, 32)) * 8.0 + 4.0).astype(np.float32)
+    batch = np.stack([a, b], axis=-1)
+
+    from crosstalk_tpu.ops.metrics import _digitize_256, _histogram_256
+
+    for j in range(batch.shape[0]):
+        for img in (a[j], b[j]):
+            flat = img.flatten()
+            ref_h = np.histogram(flat, bins=256)[0]
+            got_h = np.asarray(_histogram_256(jnp.asarray(img[None])))[0]
+            np.testing.assert_array_equal(got_h, ref_h)
+            ref_d = np.clip(
+                np.digitize(flat, np.linspace(img.min(), img.max(), 256)) - 1,
+                0, 255,
+            )
+            got_d = np.asarray(_digitize_256(jnp.asarray(img[None])))[0]
+            np.testing.assert_array_equal(got_d, ref_d)
+
+    ref = _reference_metrics_numpy(batch.astype(np.float64))
+    got = classical_metrics(jnp.asarray(batch))
+    for key in ("Histogram Correlation", "Normalized Mutual Information"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), ref[key], rtol=1e-5, atol=1e-6,
+            err_msg=key,
+        )
