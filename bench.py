@@ -104,7 +104,6 @@ def bench_model(variant: str, infer_batch: int, train_batch: int):
 
     # ---------- training step ----------
     tx = make_optimizer(OptimConfig())
-    state = init_train_state(model, variables, tx)
     core = _train_core(model, tx, axis_name=None)
 
     def train_scan(state, x, y, key):
@@ -122,6 +121,11 @@ def bench_model(variant: str, infer_batch: int, train_batch: int):
 
     while True:
         try:
+            # (re)build the state INSIDE the retry: train_jit donates it, so
+            # after a failed call the old state's buffers are already gone —
+            # reusing it would crash the halved-batch retry with
+            # "Array has been deleted" instead of benchmarking
+            state = init_train_state(model, variables, tx)
             rng = np.random.default_rng(1)
             x = jnp.asarray(
                 rng.random((train_batch, 256, 256, 2)).astype(np.float32)

@@ -101,8 +101,9 @@ def main(argv=None) -> int:
     enable_compilation_cache()
 
     device = jax.devices()[0]
-    n_dev = args.num_devices or len(jax.devices())
-    if n_dev > len(jax.devices()):
+    n_dev = (len(jax.devices()) if args.num_devices is None
+             else args.num_devices)
+    if n_dev <= 0 or n_dev > len(jax.devices()):
         print(f"Error: --num_devices {n_dev} requested but only "
               f"{len(jax.devices())} device(s) are visible.")
         return 1
@@ -134,7 +135,14 @@ def main(argv=None) -> int:
     except (FileNotFoundError, KeyError) as e:
         print(f"Error loading model from {args.model_path}: {e}")
         return 1
-    artifacts.write_architecture_txt(output_dir, torch_style_repr(model_cfg))
+    # size the printed head from the data (the repr defaults to 256; a run
+    # on other tile sizes must not misdescribe the model's Linear layer)
+    from crosstalk_tpu.data.tiff import read_tile
+
+    image_size = int(read_tile(index.samples[0].mixed_path).shape[0])
+    artifacts.write_architecture_txt(
+        output_dir, torch_style_repr(model_cfg, image_size=image_size)
+    )
     print(f"Model architecture summary saved to {output_dir}/model_architecture.txt")
 
     store = TileStore(index.samples, jobs=args.cpu_jobs,

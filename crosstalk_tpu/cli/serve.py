@@ -132,8 +132,8 @@ def main(argv=None) -> int:
                   f"({args.batch_size}), got {buckets}")
             return 1
 
-    n_dev = args.num_devices or 1
-    if n_dev > len(jax.devices()):
+    n_dev = 1 if args.num_devices is None else args.num_devices
+    if n_dev <= 0 or n_dev > len(jax.devices()):
         print(f"Error: --num_devices {n_dev} requested but only "
               f"{len(jax.devices())} device(s) are visible.")
         return 1

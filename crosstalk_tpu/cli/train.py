@@ -158,8 +158,8 @@ def main(argv=None) -> int:
         sys.stdout = _NonPrimaryStdout(jax.process_index())
 
     devices = jax.devices()
-    n_dev = args.num_devices or len(devices)
-    if n_dev > len(devices):
+    n_dev = len(devices) if args.num_devices is None else args.num_devices
+    if n_dev <= 0 or n_dev > len(devices):
         print(f"Error: --num_devices {n_dev} requested but only "
               f"{len(devices)} device(s) are visible.")
         return 1
@@ -198,6 +198,10 @@ def main(argv=None) -> int:
             # the ranks would adopt different hyperparameters / restore
             # different states — fail here with a clear message instead of
             # the cryptic cross-process device_put assertion downstream.
+            # Complementary to train/loop.py's restored-(epoch, step)
+            # allgather: this one catches params.txt/filename divergence
+            # before any state is built; that one catches divergent
+            # checkpoint CONTENT the filenames can't reveal.
             import glob as _glob
             import hashlib
 
@@ -341,7 +345,9 @@ def main(argv=None) -> int:
     image_size = int(stores["train"].tiles.shape[1])  # size the head from data
     variables = init_model(model, jax.random.key(args.seed), image_size=image_size)
     if primary:
-        artifacts.write_architecture_txt(run_dir, torch_style_repr(model_cfg))
+        artifacts.write_architecture_txt(
+            run_dir, torch_style_repr(model_cfg, image_size=image_size)
+        )
         print(f"Model architecture summary saved to "
               f"{run_dir}/model_architecture.txt")
     state = init_train_state(model, variables, tx)
@@ -355,10 +361,14 @@ def main(argv=None) -> int:
             return 1
         device_data = True
     elif args.data_placement == "auto":
-        # resident when single-device and the splits fit well inside one
-        # chip's HBM next to params/activations (v5e: 16 GB)
-        split_bytes = (DeviceDataset.nbytes(stores["train"])
-                       + DeviceDataset.nbytes(stores["val"]))
+        # resident when single-device and ALL splits fit well inside one
+        # chip's HBM next to params/activations (v5e: 16 GB). The test split
+        # counts too: post-training eval uploads it while the train/val
+        # copies are still resident, so budgeting only train+val could pass
+        # training and then die with RESOURCE_EXHAUSTED at evaluation.
+        split_bytes = sum(
+            DeviceDataset.nbytes(stores[s]) for s in ("train", "val", "test")
+        )
         device_data = mesh is None and split_bytes <= 8 << 30
     else:
         device_data = False

@@ -148,6 +148,7 @@ def iterate_batches(
     seed: int = 0,
     epoch: int = 0,
     assembly_threads: int = 4,
+    assemble_rows: Optional[slice] = None,
 ) -> Iterator[Batch]:
     """Yield host batches from a TileStore.
 
@@ -166,6 +167,12 @@ def iterate_batches(
     additionally overlaps page-fault stalls (another ~1.6x on one core;
     scales with cores on real hosts). Output is bit-identical to the naive
     row loop in all cases.
+
+    ``assemble_rows`` (multi-host): copy only that row range of each
+    batch's PIXELS — this process's ``process_row_slice`` — leaving the
+    other rows zero (never read: device_prefetch uploads only the same
+    slice). Decode/copy CPU and touched RAM per host then scale with
+    1/num_processes. Labels/ids/mask are tiny and stay full.
     """
     n = len(store)
     order = np.arange(n)
@@ -187,8 +194,18 @@ def iterate_batches(
                 idx = np.concatenate([idx, pad])
             # row-wise copies (numpy fancy-indexing on a memmap degrades to
             # per-element gathers), walked in sorted-source order
-            inputs = np.empty((batch_size, *store.tiles.shape[1:]), np.float32)
-            src_sorted = np.argsort(idx, kind="stable")
+            if assemble_rows is None:
+                inputs = np.empty(
+                    (batch_size, *store.tiles.shape[1:]), np.float32
+                )
+                dst = np.arange(batch_size)
+            else:
+                # zeros, not empty: unassembled rows must be deterministic
+                inputs = np.zeros(
+                    (batch_size, *store.tiles.shape[1:]), np.float32
+                )
+                dst = np.arange(batch_size)[assemble_rows]
+            src_sorted = dst[np.argsort(idx[dst], kind="stable")]
 
             def copy_rows(dsts):
                 for j in dsts:

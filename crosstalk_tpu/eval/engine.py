@@ -124,8 +124,14 @@ def evaluate(
     if resident:
         batches = store.batches(batch_size)
     else:
+        assemble = None
+        if multihost:
+            from crosstalk_tpu.parallel.distributed import process_row_slice
+
+            assemble = process_row_slice(batch_size)
         batches = device_prefetch(
-            iterate_batches(store, batch_size), sharding=sharding
+            iterate_batches(store, batch_size, assemble_rows=assemble),
+            sharding=sharding,
         )
     if desc is not None:
         batches = progress(batches, desc=desc,

@@ -11,9 +11,14 @@ step (train/steps.py) is unchanged. What multi-host adds operationally:
     coordinator/num_processes/process_id explicitly or via the
     ``CROSSTALK_COORDINATOR`` / ``CROSSTALK_NUM_PROCESSES`` /
     ``CROSSTALK_PROCESS_ID`` environment variables.
-  * per-process batch assembly — every host materializes only ITS rows of
-    each global batch (``process_row_slice``) and wraps them as a global
-    array (``make_global_batch``); no host ever holds the full batch.
+  * per-process batch assembly — every host copies only ITS rows of each
+    global batch's pixels out of its tile cache (``process_row_slice``,
+    honored by ``iterate_batches(assemble_rows=...)``) and wraps them as a
+    global array (``make_global_batch``); per-batch assembly CPU and
+    upload bytes scale with 1/num_processes. (The packed tile CACHE is
+    still full-dataset per host — global shuffling draws any sample on any
+    host each epoch; the cache is a memmap, so untouched rows cost disk,
+    not RAM.)
   * rank gating — artifacts/logs are written by process 0 only
     (``is_primary``); losses returned by the train/val steps are psum/pmean
     reductions over the full mesh, so process 0's view is the global value.

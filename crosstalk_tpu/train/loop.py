@@ -121,18 +121,29 @@ def train_model(
         def val_batches():
             return val_data.batches(batch_size)
     else:
+        # multi-host: assemble only this process's row range of each batch
+        # (device_prefetch uploads exactly that slice)
+        assemble = None
+        if mesh is not None and jax.process_count() > 1:
+            from crosstalk_tpu.parallel.distributed import process_row_slice
+
+            assemble = process_row_slice(batch_size)
+
         def train_batches(epoch):
             return device_prefetch(
                 iterate_batches(
                     train_store, batch_size, shuffle=True,
                     drop_last=True, seed=seed, epoch=epoch,
+                    assemble_rows=assemble,
                 ),
                 sharding=sharding,
             )
 
         def val_batches():
             return device_prefetch(
-                iterate_batches(val_store, batch_size), sharding=sharding
+                iterate_batches(val_store, batch_size,
+                                assemble_rows=assemble),
+                sharding=sharding,
             )
 
     # Multi-host: every process runs the identical loop (the losses are
@@ -275,10 +286,16 @@ def train_model(
         log.log_epoch(epoch + 1, train_loss, val_loss, current_lr)
 
         # ---- native resume checkpoint (every checkpoint_every epochs and on
-        #      the final epoch; a 137M-param state is ~1.6 GB per write)
+        #      the final epoch; a 137M-param state is ~1.6 GB per write).
+        #      Early stop makes THIS epoch final too — without the write a
+        #      later --resume would restart from the last cadence epoch and
+        #      silently re-train the tail.
         ckpt_every = getattr(train_cfg, "checkpoint_every", 1)
+        stopping = epochs_without_improvement >= schedule.early_stop_patience
         if primary and (
-            (epoch + 1) % ckpt_every == 0 or epoch + 1 == train_cfg.num_epochs
+            (epoch + 1) % ckpt_every == 0
+            or epoch + 1 == train_cfg.num_epochs
+            or stopping
         ):
             writer.submit_checkpoint(
                 run_dir,
@@ -295,7 +312,7 @@ def train_model(
                 },
             )
 
-        if epochs_without_improvement >= schedule.early_stop_patience:
+        if stopping:
             if primary:
                 print(
                     f"Early stopping triggered after {epoch + 1} epochs "

@@ -28,7 +28,10 @@ from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from crosstalk_tpu.config import OptimConfig
-from crosstalk_tpu.data.transforms import normalize_batch_nhwc, paired_random_flips
+from crosstalk_tpu.data.transforms import (
+    normalize_batch_nhwc,
+    prepare_train_batch,
+)
 
 
 class TrainState(struct.PyTreeNode):
@@ -72,9 +75,7 @@ def _train_core(model, tx, axis_name: Optional[str], augment: bool = True):
             # decorrelate augmentation/dropout across shards
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         aug_rng, dropout_rng = jax.random.split(rng)
-        batch = normalize_batch_nhwc(inputs)
-        if augment:
-            batch = paired_random_flips(aug_rng, batch)
+        batch = prepare_train_batch(aug_rng, inputs, augment=augment)
 
         def loss_fn(params):
             preds, mut = model.apply(

@@ -395,3 +395,25 @@ def test_parse_raw_tiff_multistrip_without_counts_falls_back():
 
     # without counts: must refuse (None), not return rows 2-3 of garbage
     assert _parse_raw_tiff(build(with_counts=False)) is None
+
+
+def test_iterate_batches_assemble_rows_partial(synthetic_data_dirs):
+    """Multi-host per-rank assembly: with assemble_rows, only that row range
+    of each batch's pixels is copied (others stay zero); labels/ids/mask are
+    full, and the assembled rows are bit-identical to a full assembly."""
+    mixed_dir, source_dir = synthetic_data_dirs
+    index = PairIndex(mixed_dir, source_dir)
+    store = TileStore(index.samples[:10], jobs=1)
+
+    from crosstalk_tpu.data.pipeline import iterate_batches
+
+    full = list(iterate_batches(store, 4, shuffle=True, seed=7, epoch=1))
+    part = list(iterate_batches(store, 4, shuffle=True, seed=7, epoch=1,
+                                assemble_rows=slice(1, 3)))
+    assert len(full) == len(part)
+    for f, p in zip(full, part):
+        np.testing.assert_array_equal(p.inputs[1:3], f.inputs[1:3])
+        assert not p.inputs[0].any() and not p.inputs[3].any()
+        np.testing.assert_array_equal(p.labels, f.labels)
+        np.testing.assert_array_equal(p.ids, f.ids)
+        np.testing.assert_array_equal(p.mask, f.mask)
