@@ -64,6 +64,11 @@ def main(argv=None) -> int:
     from crosstalk_tpu.io import artifacts
     from crosstalk_tpu.serve.client import CrosstalkClient
 
+    if args.request_tiles <= 0:
+        print(f"Error: --request_tiles must be positive, "
+              f"got {args.request_tiles}")
+        return 1
+
     client = CrosstalkClient(args.url, timeout=args.timeout)
     try:
         health = client.health()

@@ -119,17 +119,12 @@ def main(argv=None) -> int:
             print("Error: --batch_buckets requires a checkpoint (-p); AOT "
                   "artifacts are lowered at fixed shapes.")
             return 1
+        from crosstalk_tpu.serve.batcher import parse_batch_buckets
+
         try:
-            buckets = sorted(
-                {int(tok) for tok in args.batch_buckets.split(",") if tok.strip()}
-            )
-        except ValueError:
-            print("Error: --batch_buckets must be comma-separated integers, "
-                  f"got {args.batch_buckets!r}")
-            return 1
-        if not buckets or buckets[0] <= 0 or buckets[-1] > args.batch_size:
-            print("Error: --batch_buckets values must be in 1..batch_size "
-                  f"({args.batch_size}), got {buckets}")
+            buckets = parse_batch_buckets(args.batch_buckets, args.batch_size)
+        except ValueError as e:
+            print(f"Error: {e}")
             return 1
 
     n_dev = 1 if args.num_devices is None else args.num_devices

@@ -36,7 +36,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         os.makedirs(cache_dir, exist_ok=True)
         so_path = os.path.join(cache_dir, f"libtileloader_{digest}.so")
         if not os.path.exists(so_path):
-            tmp = so_path + ".tmp.so"
+            # pid-unique tmp: two processes cold-building concurrently must
+            # not interleave g++ output into one file and promote a corrupt
+            # .so into the digest-keyed cache (each replace is then whole)
+            tmp = so_path + f".tmp{os.getpid()}.so"
             subprocess.run(
                 [
                     "g++", "-O3", "-march=native", "-std=c++17", "-shared",

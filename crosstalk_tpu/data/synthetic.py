@@ -36,7 +36,11 @@ def generate_pair(rng: np.random.Generator, size: int, block: int = 8):
     alpha = round(float(rng.uniform(0.01, 0.5)), 2)
 
     def field():
-        base = rng.random((size // block, size // block))
+        # ceil division so any size works (the [:size, :size] crop can only
+        # shrink; a floor-divided base left size % block != 0 short and the
+        # later noise add raised a broadcast error)
+        n = -(-size // block)
+        base = rng.random((n, n))
         return np.kron(base, np.ones((block, block)))[:size, :size]
 
     source = field() + 0.05 * rng.random((size, size))

@@ -10,7 +10,9 @@ interop (io/torch_convert.py).
 
 Format: the TrainState pytree as flax msgpack, with a JSON sidecar for the
 host-side scalars. Writes are atomic (tmp + rename) so a kill mid-save never
-corrupts the latest checkpoint.
+corrupts either file, and the sidecar carries a digest of the state bytes so
+the one remaining window — dying between the two renames — yields a
+loud ValueError at resume rather than a silently mismatched state/meta pair.
 
 Why flax msgpack rather than Orbax (the usual TPU choice, SURVEY.md §5):
 this workload is single-host with at most ~1.6 GB of state (the 137M-param
@@ -25,6 +27,7 @@ inspect and to keep byte-stable. If multi-host training is ever added
 from __future__ import annotations
 
 import copy
+import hashlib
 import json
 import os
 import queue
@@ -51,7 +54,13 @@ def _device_tree_copy(tree):
 
 
 def save_checkpoint(run_dir: str, state, meta: dict) -> str:
-    """Persist (TrainState pytree, host metadata) atomically."""
+    """Persist (TrainState pytree, host metadata) atomically.
+
+    Each file write is atomic (tmp + rename), and the pair is made
+    tear-evident: ``meta`` records a digest of the state bytes, renamed
+    LAST, so a kill between the two renames (new state + stale meta) is
+    detected at load instead of silently resuming epoch N's arrays with
+    epoch N-k's scheduler/loss history."""
     ckpt_dir = os.path.join(run_dir, CKPT_DIR)
     os.makedirs(ckpt_dir, exist_ok=True)
 
@@ -62,6 +71,8 @@ def save_checkpoint(run_dir: str, state, meta: dict) -> str:
         f.write(data)
     os.replace(tmp, state_path)
 
+    meta = dict(meta)
+    meta["state_sha256"] = hashlib.sha256(data).hexdigest()
     meta_path = os.path.join(ckpt_dir, META_FILE)
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
@@ -173,14 +184,28 @@ class AsyncCheckpointWriter:
 
 def load_checkpoint(run_dir: str, state_template) -> Optional[Tuple[object, dict]]:
     """Restore (state, meta) from a run dir; None if no checkpoint exists.
-    ``state_template`` supplies the pytree structure/shapes/dtypes."""
+    ``state_template`` supplies the pytree structure/shapes/dtypes.
+
+    Raises ValueError on a TORN checkpoint (state file and meta from
+    different saves — possible only if the process died between the two
+    atomic renames in ``save_checkpoint``); resuming it silently would pair
+    one epoch's arrays with another's scheduler/loss history."""
     ckpt_dir = os.path.join(run_dir, CKPT_DIR)
     state_path = os.path.join(ckpt_dir, STATE_FILE)
     meta_path = os.path.join(ckpt_dir, META_FILE)
     if not (os.path.exists(state_path) and os.path.exists(meta_path)):
         return None
     with open(state_path, "rb") as f:
-        state = serialization.from_bytes(state_template, f.read())
+        data = f.read()
     with open(meta_path) as f:
         meta = json.load(f)
+    expect = meta.get("state_sha256")  # absent in pre-digest checkpoints
+    if expect is not None and hashlib.sha256(data).hexdigest() != expect:
+        raise ValueError(
+            f"torn checkpoint in {ckpt_dir}: {STATE_FILE} does not match "
+            f"the digest in {META_FILE} (the run died between the two "
+            "checkpoint renames). Delete the checkpoints/ dir to restart "
+            "from scratch, or restore a best_model .pth."
+        )
+    state = serialization.from_bytes(state_template, data)
     return state, meta

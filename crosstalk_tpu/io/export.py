@@ -31,6 +31,7 @@ generation; the XLA-only serving path stays within ~15% of it
 from __future__ import annotations
 
 import json
+import os
 import struct
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -116,13 +117,15 @@ def export_serving_model(
 
 def save_exported(path: str, blob: bytes, weights: bytes, meta: Dict) -> None:
     payload = json.dumps(meta).encode()
-    with open(path, "wb") as f:
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(_MAGIC)
         f.write(struct.pack("<I", len(payload)))
         f.write(payload)
         f.write(struct.pack("<Q", len(weights)))
         f.write(weights)
         f.write(blob)
+    os.replace(tmp, path)  # atomic: no truncated artifact at the final path
 
 
 def read_exported(path: str) -> Tuple[bytes, bytes, Dict]:

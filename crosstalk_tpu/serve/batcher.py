@@ -35,6 +35,26 @@ from typing import Callable, Dict
 import numpy as np
 
 
+def parse_batch_buckets(spec: str, batch_size: int):
+    """``"8,32"`` -> sorted unique bucket list, validated against
+    ``batch_size``. Raises ValueError with a user-facing message — shared
+    by the serve CLI and tools/serve_bench.py so validation happens BEFORE
+    the predictor compiles anything (a bad bucket otherwise costs a wasted
+    multi-minute remote compile on TPU toolchains)."""
+    try:
+        buckets = sorted({int(tok) for tok in spec.split(",") if tok.strip()})
+    except ValueError:
+        raise ValueError(
+            f"batch buckets must be comma-separated integers, got {spec!r}"
+        )
+    if not buckets or buckets[0] <= 0 or buckets[-1] > batch_size:
+        raise ValueError(
+            f"batch bucket values must be in 1..batch_size ({batch_size}), "
+            f"got {buckets}"
+        )
+    return buckets
+
+
 class _Pending:
     __slots__ = ("tiles", "future", "results", "done", "arrived")
 

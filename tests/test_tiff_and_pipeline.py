@@ -417,3 +417,16 @@ def test_iterate_batches_assemble_rows_partial(synthetic_data_dirs):
         np.testing.assert_array_equal(p.labels, f.labels)
         np.testing.assert_array_equal(p.ids, f.ids)
         np.testing.assert_array_equal(p.mask, f.mask)
+
+
+def test_synthetic_generates_any_size():
+    """generate_pair must work for sizes that are not multiples of the blob
+    block (round-4 review: the kron crop could only shrink, so size=100
+    raised a broadcast error)."""
+    from crosstalk_tpu.data.synthetic import generate_pair
+
+    rng = np.random.default_rng(0)
+    for size in (100, 7, 96, 65):
+        mixed, source, alpha = generate_pair(rng, size)
+        assert mixed.shape == (size, size) == source.shape
+        assert 0.01 <= alpha <= 0.5

@@ -50,16 +50,6 @@ def _sync(out):
     return float(np.asarray(leaf.ravel()[0] if leaf.ndim else leaf))
 
 
-def _timed(fn, *args, repeats=3):
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _sync(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def _is_kernel_or_bias(path):
     names = {getattr(p, "key", None) for p in path}
     return "kernel" in names or ("bias" in names and "BatchNorm_0" not in names)

@@ -93,12 +93,6 @@ def grouped_trunk(params, x):
     return h
 
 
-def grouped_to_ref_order(h, f_last=512):
-    # grouped output channels are [b0..b63|s0..s63] PER GROUP at every
-    # layer, i.e. already [bleed_f | source_f] at the last layer
-    return h
-
-
 def main():
     params = make_params(jax.random.key(0))
     rng = np.random.default_rng(0)

@@ -75,10 +75,15 @@ def main(argv=None) -> int:
         variables = init_model(build_model(cfg), jax.random.key(0),
                                image_size=args.image_size)
 
-    buckets = (
-        sorted({int(b) for b in args.batch_buckets.split(",") if b.strip()})
-        if args.batch_buckets else None
-    ) or None
+    buckets = None
+    if args.batch_buckets:
+        from crosstalk_tpu.serve.batcher import parse_batch_buckets
+
+        try:  # validate BEFORE make_predictor compiles anything
+            buckets = parse_batch_buckets(args.batch_buckets, args.batch_size)
+        except ValueError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
     print(f"Compiling (batch {args.batch_size}"
           + (f" + buckets {buckets}" if buckets else "")
           + f", {'f32' if args.parity else 'bf16'}, "
@@ -111,14 +116,20 @@ def main(argv=None) -> int:
 
     client_dtype = args.client_dtype or args.transport_dtype
 
+    failures = []
+
     def worker():
         c = CrosstalkClient(client_url)
         n, lats = 0, []
-        while time.monotonic() < stop:
-            t0 = time.monotonic()
-            out = c.predict(tiles, dtype=client_dtype)
-            lats.append(time.monotonic() - t0)
-            n += out.shape[0]
+        try:
+            while time.monotonic() < stop:
+                t0 = time.monotonic()
+                out = c.predict(tiles, dtype=client_dtype)
+                lats.append(time.monotonic() - t0)
+                n += out.shape[0]
+        except Exception as e:  # noqa: BLE001 — a dead client must FAIL the
+            with lock:          # bench, not silently deflate its numbers
+                failures.append(f"{type(e).__name__}: {e}")
         with lock:
             counts.append(n)
             latencies.extend(lats)
@@ -135,6 +146,11 @@ def main(argv=None) -> int:
     total = int(sum(counts))
     stats = server.batcher.stats()
     server.shutdown()
+    if failures:
+        print(json.dumps({"error": "client worker(s) failed mid-run — "
+                                   "throughput numbers would be wrong",
+                          "failures": failures[:8]}))
+        return 1
     if len(lat) == 0:
         print(json.dumps({"error": "no requests completed in the window; "
                                    "raise --seconds or lower --batch_size"}))
