@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Use single- or double-branch model",
                         choices=["single", "double"])
     # Extensions beyond the reference surface:
+    parser.add_argument("--initial_filters", type=int, default=None,
+                        help="Model width override — must match the "
+                             "checkpoint (reference config: 128 single / "
+                             "64 per branch double)")
+    parser.add_argument("--num_conv_blocks", type=int, default=None,
+                        help="Single-branch depth override — must match "
+                             "the checkpoint (reference: 6)")
     parser.add_argument("--compute_dtype", type=str, default="f32",
                         choices=["f32", "bf16"],
                         help="f32 = checkpoint-parity mode (default); "
@@ -109,8 +116,20 @@ def main(argv=None) -> int:
         return 1
     print(f"Using device: {device.platform}:{device.device_kind} x{n_dev}")
 
+    if args.num_conv_blocks is not None and args.model_options == "double":
+        print("Error: --num_conv_blocks applies to the single-branch model "
+              "only (the two-branch trunk is fixed at 4 blocks per branch).")
+        return 1
+    model_kw = {}
+    if args.initial_filters is not None:
+        key = ("initial_filters" if args.model_options == "single"
+               else "initial_filters_per_branch")
+        model_kw[key] = args.initial_filters
+    if args.num_conv_blocks is not None:
+        model_kw["num_conv_blocks"] = args.num_conv_blocks
     model_cfg = ModelConfig(
-        variant=args.model_options, compute_dtype=args.compute_dtype
+        variant=args.model_options, compute_dtype=args.compute_dtype,
+        **model_kw,
     )
     model = build_model(model_cfg)
 

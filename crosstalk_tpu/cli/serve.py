@@ -39,6 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-o", "--model_options", type=str, default="single",
                         choices=["single", "double"],
                         help="Use single- or double-branch model")
+    parser.add_argument("--initial_filters", type=int, default=None,
+                        help="Model width override — must match the "
+                             "checkpoint (reference config: 128 single / "
+                             "64 per branch double)")
+    parser.add_argument("--num_conv_blocks", type=int, default=None,
+                        help="Single-branch depth override — must match "
+                             "the checkpoint (reference: 6)")
     parser.add_argument("--host", type=str, default="127.0.0.1",
                         help="Bind address (0.0.0.0 to accept remote traffic)")
     parser.add_argument("--port", type=int, default=8000,
@@ -183,9 +190,21 @@ def main(argv=None) -> int:
             print(f"Error loading model from {args.model_path}: {e}")
             return 1
 
+        if args.num_conv_blocks is not None and args.model_options == "double":
+            print("Error: --num_conv_blocks applies to the single-branch "
+                  "model only.")
+            return 1
+        model_kw = {}
+        if args.initial_filters is not None:
+            key = ("initial_filters" if args.model_options == "single"
+                   else "initial_filters_per_branch")
+            model_kw[key] = args.initial_filters
+        if args.num_conv_blocks is not None:
+            model_kw["num_conv_blocks"] = args.num_conv_blocks
         model_cfg = ModelConfig(
             variant=args.model_options,
             compute_dtype="f32" if args.parity else "bf16",
+            **model_kw,
         )
 
         mesh = None

@@ -54,6 +54,16 @@ def build_parser() -> argparse.ArgumentParser:
                              "learning scheduler",
                         choices=["aggressive_plateau", "onecycle", "cosine_warmup"])
     # Extensions beyond the reference surface:
+    parser.add_argument("--initial_filters", type=int, default=None,
+                        help="Model width override (reference config: 128 "
+                             "for single, 64 per branch for double). "
+                             "Smaller is faster / fewer params; the .pth "
+                             "converter and eval CLI handle any width")
+    parser.add_argument("--num_conv_blocks", type=int, default=None,
+                        help="Single-branch depth override (reference: 6). "
+                             "Input tiles must be at least 2^depth pixels. "
+                             "The two-branch trunk is fixed at 4 blocks by "
+                             "its architecture")
     parser.add_argument("--compute_dtype", type=str, default="bf16",
                         choices=["bf16", "f32"],
                         help="Conv/matmul compute dtype (bf16 = MXU-native)")
@@ -177,11 +187,16 @@ def main(argv=None) -> int:
         # the invocation: it is the (extendable) total-epoch target.
         original = artifacts.read_params_txt(args.resume)
         adopted = []
+
+        def _opt_int(v):  # "None" <-> flag left at its default
+            return None if v in (None, "None", "") else int(v)
+
         for key, cast in (
             ("batch_size", int), ("learning_rate", float),
             ("learning_scheduler", str), ("model_options", str),
             ("compute_dtype", str), ("seed", int),
             ("train_ratio", float), ("val_ratio", float),
+            ("initial_filters", _opt_int), ("num_conv_blocks", _opt_int),
         ):
             if key in original:
                 orig_val = cast(original[key])
@@ -231,8 +246,20 @@ def main(argv=None) -> int:
         print("Warning: Sum of TRAIN_RATIO, VAL_RATIO, TEST_RATIO does not equal 1.0.")
 
     mesh = data_mesh(n_dev) if n_dev > 1 else None
+    if args.num_conv_blocks is not None and args.model_options == "double":
+        print("Error: --num_conv_blocks applies to the single-branch model "
+              "only (the two-branch trunk is fixed at 4 blocks per branch).")
+        return 1
+    model_kw = {}
+    if args.initial_filters is not None:
+        if args.model_options == "single":
+            model_kw["initial_filters"] = args.initial_filters
+        else:
+            model_kw["initial_filters_per_branch"] = args.initial_filters
+    if args.num_conv_blocks is not None:
+        model_kw["num_conv_blocks"] = args.num_conv_blocks
     model_cfg = ModelConfig(variant=args.model_options,
-                            compute_dtype=args.compute_dtype)
+                            compute_dtype=args.compute_dtype, **model_kw)
     model = build_model(model_cfg, axis_name="data" if mesh else None)
     # Evaluation (BN in eval mode, no collectives) uses an axis-free twin so
     # it can run outside the shard_mapped step.

@@ -40,6 +40,9 @@ def test_roundtrip_with_real_train_cli_output(tmp_path):
         "-o", "single", "-r", "aggressive_plateau",
         "--compute_dtype", "f32", "--output_base", str(tmp_path),
         "--num_devices", "1",
+        # tiny model: the analyse contract (dir naming, CSV schema) under
+        # test is model-size-independent
+        "--initial_filters", "8", "--num_conv_blocks", "3",
     ])
     assert rc == 0
 

@@ -42,6 +42,9 @@ def test_make_pretrained_artifact(tmp_path):
     rc = make_pretrained([
         "-m", mixed, "-s", source, "-o", "single", "-b", "8", "-l", "5e-4",
         "-n", "1", "-j", "2", "--out", out,
+        # tiny model: the tool's contract (train -> copy final .pth under
+        # the reference's PreTrained_Model naming) is size-independent
+        "--initial_filters", "8", "--num_conv_blocks", "3",
     ])
     assert rc == 0
     (pth,) = glob.glob(os.path.join(out, "crosstalk_regression_model_trained_*_8_0.0005.pth"))
@@ -88,6 +91,9 @@ def test_sweep_runner_end_to_end(tmp_path):
         "--batch_sizes", "4", "8", "--learning_rates", "1e-3",
         "-n", "1", "-j", "2", "-o", "single", "-r", "aggressive_plateau",
         "--compute_dtype", "f32", "--output_base", str(out), "--analyse",
+        # tiny model: the runner/analyzer contract under test (dir naming,
+        # CSV schema, analyzer agreement) is model-size-independent
+        "--initial_filters", "8", "--num_conv_blocks", "3",
     ])
     assert rc == 0
     run_dirs = sorted(out.glob("training_run_*"))

@@ -541,6 +541,50 @@ def test_train_cli_multi_device_smoke(tmp_path):
     assert os.path.exists(os.path.join(run_dir, "best_model_plateau.pth"))
 
 
+def test_train_cli_custom_model_size_roundtrip(tmp_path):
+    """--initial_filters/--num_conv_blocks (extension flags): train a
+    custom-width/depth model end to end, strict-load the final .pth into
+    the same-sized torch twin (the converter is structure-derived, so any
+    size round-trips), and score it with the eval CLI given matching
+    flags."""
+    import torch
+
+    from tests.conftest import make_synthetic_dataset
+    from tests.torch_ref import TorchSingle
+    from crosstalk_tpu.cli.evaluate import main as eval_main
+    from crosstalk_tpu.cli.train import main as train_main
+
+    mixed_dir, source_dir = make_synthetic_dataset(str(tmp_path), n=10,
+                                                   size=32, seed=17)
+    rc = train_main([
+        "-m", mixed_dir, "-s", source_dir, "-b", "4", "-l", "1e-3",
+        "-n", "1", "-j", "2", "-o", "single", "-r", "aggressive_plateau",
+        "--compute_dtype", "f32", "--output_base", str(tmp_path),
+        "--num_devices", "1",
+        "--initial_filters", "8", "--num_conv_blocks", "3",
+    ])
+    assert rc == 0
+    (run_dir,) = glob.glob(os.path.join(str(tmp_path), "training_run_*"))
+    (pth,) = glob.glob(os.path.join(
+        run_dir, "crosstalk_regression_model_trained_*.pth"))
+
+    # strict-load into the same-sized torch architecture
+    tmodel = TorchSingle(initial_filters=8, num_blocks=3, image_size=32)
+    sd = torch.load(pth, map_location="cpu", weights_only=True)
+    tmodel.load_state_dict(sd, strict=True)
+
+    # eval CLI must accept the custom size (and reject a depth override
+    # on the double model)
+    rc = eval_main([
+        "-m", mixed_dir, "-s", source_dir, "-p", pth, "-o", "single",
+        "--initial_filters", "8", "--num_conv_blocks", "3",
+        "--batch_size", "4", "--num_devices", "1",
+        "--output_base", str(tmp_path),
+    ])
+    assert rc == 0
+    assert eval_main(["-p", pth, "-o", "double", "--num_conv_blocks", "3"]) == 1
+
+
 def test_train_cli_small_batch_rounds_up_to_mesh(tmp_path):
     """-b smaller than the device count must round UP to one sample per
     device, not down to zero (which divided by zero in the loop)."""
@@ -579,6 +623,11 @@ def test_sigkill_mid_training_then_resume(tmp_path):
         "-n", "6", "-j", "2", "-o", "single", "-r", "aggressive_plateau",
         "--compute_dtype", "f32", "--output_base", str(tmp_path),
         "--num_devices", "1",
+        # small model: recovery semantics (atomic checkpoints, resume,
+        # gapless log) are size-independent, and the resume below omits
+        # these flags on purpose — adoption from params.txt must restore
+        # them or the checkpoint cannot load
+        "--initial_filters", "8", "--num_conv_blocks", "3",
     ]
     proc = subprocess.Popen(argv, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True, cwd=repo)

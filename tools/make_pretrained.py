@@ -40,6 +40,11 @@ def main(argv=None) -> int:
     parser.add_argument("-n", "--num_epochs", type=int, default=50)
     parser.add_argument("-r", "--learning_scheduler", default="aggressive_plateau")
     parser.add_argument("-j", "--cpu_jobs", type=int, default=4)
+    parser.add_argument("--initial_filters", type=int, default=None,
+                        help="Model width override (passed through to the "
+                             "train CLI; reference artifact: default width)")
+    parser.add_argument("--num_conv_blocks", type=int, default=None,
+                        help="Single-branch depth override (passed through)")
     parser.add_argument("--out", default="PreTrained_Model",
                         help="Output directory (reference: PreTrained_Model/)")
     args = parser.parse_args(argv)
@@ -55,7 +60,10 @@ def main(argv=None) -> int:
             "-n", str(args.num_epochs), "-j", str(args.cpu_jobs),
             "-o", args.model_options, "-r", args.learning_scheduler,
             "--output_base", workdir,
-        ])
+        ] + (["--initial_filters", str(args.initial_filters)]
+             if args.initial_filters is not None else [])
+          + (["--num_conv_blocks", str(args.num_conv_blocks)]
+             if args.num_conv_blocks is not None else []))
         if rc != 0:
             return rc
 

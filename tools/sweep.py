@@ -40,6 +40,11 @@ def main(argv=None) -> int:
                     choices=["aggressive_plateau", "onecycle", "cosine_warmup"])
     ap.add_argument("-j", "--cpu_jobs", type=int, default=1)
     ap.add_argument("--compute_dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--initial_filters", type=int, default=None,
+                    help="Model width override (passed through to the "
+                         "train CLI)")
+    ap.add_argument("--num_conv_blocks", type=int, default=None,
+                    help="Single-branch depth override (passed through)")
     ap.add_argument("--output_base", default=".")
     ap.add_argument("--cache_dir", default=None,
                     help="Shared decoded-tile cache across combinations "
@@ -69,7 +74,10 @@ def main(argv=None) -> int:
             "--compute_dtype", args.compute_dtype,
             "--output_base", args.output_base,
             "--cache_dir", cache_dir,
-        ])
+        ] + (["--initial_filters", str(args.initial_filters)]
+             if args.initial_filters is not None else [])
+          + (["--num_conv_blocks", str(args.num_conv_blocks)]
+             if args.num_conv_blocks is not None else []))
         print(f"=== B={bs} LR={lr}: rc={rc} "
               f"({time.monotonic() - t0:.0f}s) ===")
         if rc != 0:
