@@ -205,6 +205,9 @@ def test_train_cli_two_process(tmp_path):
             "-m", "crosstalk_tpu.cli.train",
             "-m", mixed_dir, "-s", source_dir, "-b", "8", "-l", "1e-3",
             "-n", "1", "-j", "2", "-o", "single", "-r", "aggressive_plateau",
+            # tiny model: cluster formation, rank-0 artifact ownership, and
+            # the resume-desync guard are model-size-independent
+            "--initial_filters", "8", "--num_conv_blocks", "3",
             "--compute_dtype", "f32", "--seed", "5",
             "--output_base", str(out0 if rank == 0 else out1),
             "--multihost", "--coordinator_address", f"localhost:{port}",

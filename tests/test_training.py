@@ -596,6 +596,8 @@ def test_train_cli_small_batch_rounds_up_to_mesh(tmp_path):
         "-j", "2", "-o", "single", "-r", "aggressive_plateau",
         "--compute_dtype", "f32", "--output_base", str(tmp_path),
         "--num_devices", "8",
+        # tiny model: batch-rounding vs the mesh is size-independent
+        "--initial_filters", "8", "--num_conv_blocks", "3",
     ])
     assert rc == 0
 
