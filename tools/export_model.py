@@ -28,6 +28,12 @@ def main(argv=None) -> int:
                     help=".pth checkpoint to export")
     ap.add_argument("-o", "--model_options", default="single",
                     choices=["single", "double"])
+    ap.add_argument("--initial_filters", type=int, default=None,
+                    help="Model width override — must match the checkpoint "
+                         "(reference config: 128 single / 64 per branch)")
+    ap.add_argument("--num_conv_blocks", type=int, default=None,
+                    help="Single-branch depth override — must match the "
+                         "checkpoint (reference: 6)")
     ap.add_argument("--out", default=None,
                     help="Output path (default: <model_path>.ctkx)")
     ap.add_argument("--batch_size", type=int, default=None,
@@ -48,9 +54,21 @@ def main(argv=None) -> int:
     from crosstalk_tpu.io.export import export_serving_model, save_exported
     from crosstalk_tpu.io.torch_convert import load_pth
 
+    if args.num_conv_blocks is not None and args.model_options == "double":
+        print("Error: --num_conv_blocks applies to the single-branch model "
+              "only.")
+        return 1
+    model_kw = {}
+    if args.initial_filters is not None:
+        key = ("initial_filters" if args.model_options == "single"
+               else "initial_filters_per_branch")
+        model_kw[key] = args.initial_filters
+    if args.num_conv_blocks is not None:
+        model_kw["num_conv_blocks"] = args.num_conv_blocks
     variables = load_pth(args.model_path, args.model_options)
     cfg = ModelConfig(variant=args.model_options,
-                      compute_dtype="f32" if args.parity else "bf16")
+                      compute_dtype="f32" if args.parity else "bf16",
+                      **model_kw)
     print(f"Lowering for {args.platforms} "
           f"(batch {'dynamic' if args.batch_size is None else args.batch_size}, "
           f"{args.image_size}px, "
