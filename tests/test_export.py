@@ -227,7 +227,8 @@ def test_export_cli_roundtrip(tmp_path):
     from tests.torch_ref import TorchSingle, burn_in_batch_stats
 
     torch.manual_seed(4)
-    tmodel = TorchSingle(image_size=64)
+    # custom size: also covers the tool's --initial_filters/--num_conv_blocks
+    tmodel = TorchSingle(initial_filters=16, num_blocks=4, image_size=64)
     burn_in_batch_stats(tmodel, 64, steps=2)
     ckpt = str(tmp_path / "model.pth")
     torch.save(tmodel.state_dict(), ckpt)
@@ -236,6 +237,7 @@ def test_export_cli_roundtrip(tmp_path):
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
          "-p", ckpt, "-o", "single", "--out", out,
+         "--initial_filters", "16", "--num_conv_blocks", "4",
          "--batch_size", "4", "--image_size", "64",
          "--platforms", "cpu", "--parity"],
         capture_output=True, text=True, cwd=REPO, timeout=420,
