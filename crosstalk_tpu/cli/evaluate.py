@@ -120,19 +120,6 @@ def main(argv=None) -> int:
         print("Error: --num_conv_blocks applies to the single-branch model "
               "only (the two-branch trunk is fixed at 4 blocks per branch).")
         return 1
-    model_kw = {}
-    if args.initial_filters is not None:
-        key = ("initial_filters" if args.model_options == "single"
-               else "initial_filters_per_branch")
-        model_kw[key] = args.initial_filters
-    if args.num_conv_blocks is not None:
-        model_kw["num_conv_blocks"] = args.num_conv_blocks
-    model_cfg = ModelConfig(
-        variant=args.model_options, compute_dtype=args.compute_dtype,
-        **model_kw,
-    )
-    model = build_model(model_cfg)
-
     ts = artifacts.timestamp()
     output_dir = artifacts.make_eval_run_dir(args.output_base, ts)
     print(f"Saving all outputs to: {output_dir}")
@@ -154,6 +141,25 @@ def main(argv=None) -> int:
     except (FileNotFoundError, KeyError) as e:
         print(f"Error loading model from {args.model_path}: {e}")
         return 1
+    # Size the model from the checkpoint itself (flags, when given, are
+    # validated against it) — a non-default-width .pth needs no flags.
+    from crosstalk_tpu.io.torch_convert import model_config_for_checkpoint
+
+    try:
+        model_cfg = model_config_for_checkpoint(
+            args.model_options, variables,
+            initial_filters=args.initial_filters,
+            num_conv_blocks=args.num_conv_blocks,
+            compute_dtype=args.compute_dtype,
+        )
+    except ValueError as e:
+        print(f"Error: {e}")
+        return 1
+    if model_cfg != ModelConfig(variant=args.model_options,
+                                compute_dtype=args.compute_dtype):
+        print(f"Detected non-default model size from the checkpoint: "
+              f"{model_cfg}")
+    model = build_model(model_cfg)
     # size the printed head from the data (the repr defaults to 256; a run
     # on other tile sizes must not misdescribe the model's Linear layer)
     from crosstalk_tpu.data.tiff import read_tile

@@ -194,18 +194,26 @@ def main(argv=None) -> int:
             print("Error: --num_conv_blocks applies to the single-branch "
                   "model only.")
             return 1
-        model_kw = {}
-        if args.initial_filters is not None:
-            key = ("initial_filters" if args.model_options == "single"
-                   else "initial_filters_per_branch")
-            model_kw[key] = args.initial_filters
-        if args.num_conv_blocks is not None:
-            model_kw["num_conv_blocks"] = args.num_conv_blocks
-        model_cfg = ModelConfig(
+        # Size the model from the checkpoint itself (flags, when given,
+        # are validated against it)
+        from crosstalk_tpu.io.torch_convert import model_config_for_checkpoint
+
+        try:
+            model_cfg = model_config_for_checkpoint(
+                args.model_options, variables,
+                initial_filters=args.initial_filters,
+                num_conv_blocks=args.num_conv_blocks,
+                compute_dtype="f32" if args.parity else "bf16",
+            )
+        except ValueError as e:
+            print(f"Error: {e}")
+            return 1
+        if model_cfg != ModelConfig(
             variant=args.model_options,
             compute_dtype="f32" if args.parity else "bf16",
-            **model_kw,
-        )
+        ):
+            print(f"Detected non-default model size from the checkpoint: "
+                  f"{model_cfg}")
 
         mesh = None
         if n_dev > 1:
@@ -252,6 +260,16 @@ def main(argv=None) -> int:
         # serving configuration, then the server swaps it in atomically
         def reload_fn(path):
             new_vars = load_pth(path, args.model_options)
+            from crosstalk_tpu.io.torch_convert import infer_model_size
+
+            new_size = infer_model_size(new_vars, args.model_options)
+            old_size = infer_model_size(variables, args.model_options)
+            if new_size != old_size:
+                raise ValueError(
+                    f"checkpoint size mismatch: serving {old_size}, "
+                    f"reload candidate is {new_size} — restart the server "
+                    "to change model size"
+                )
             new_predict = make_predictor(
                 new_vars, model_cfg, serve_sizes,
                 image_size=image_size, fast=not args.parity, mesh=mesh,

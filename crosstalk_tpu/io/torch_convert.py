@@ -174,6 +174,64 @@ def torch_to_flax(state_dict: Dict[str, np.ndarray], variant: str) -> dict:
     return {"params": as_f32(params), "batch_stats": as_f32(stats)}
 
 
+def infer_model_size(variables: dict, variant: str) -> dict:
+    """Width/depth encoded in a checkpoint's parameter tree.
+
+    -> ``{"initial_filters": w, "num_conv_blocks": n}`` for ``single``,
+    ``{"initial_filters_per_branch": w}`` for ``double`` (its trunk depth
+    is fixed by the architecture). The reference's instantiated configs
+    (reference train_model.py:534-537) are just the defaults; any size the
+    model classes accept round-trips through the converter, and this lets
+    the eval/serve/export CLIs self-configure from the checkpoint."""
+    params = variables["params"]
+    if variant == "single":
+        kernel = params["ConvBlock_0"]["Conv_0"]["kernel"]
+        return {
+            "initial_filters": int(np.shape(kernel)[-1]),
+            "num_conv_blocks": _count_flax_blocks(params),
+        }
+    if variant == "double":
+        kernel = params["bleed_branch"]["ConvBlock_0"]["Conv_0"]["kernel"]
+        return {"initial_filters_per_branch": int(np.shape(kernel)[-1])}
+    raise ValueError(f"unknown variant {variant!r}")
+
+
+def model_config_for_checkpoint(
+    variant: str,
+    variables: dict,
+    *,
+    initial_filters=None,
+    num_conv_blocks=None,
+    compute_dtype: str = "bf16",
+):
+    """ModelConfig sized to a loaded checkpoint.
+
+    Size flags, when given, are validated against the checkpoint (raises
+    ValueError naming both sizes on a mismatch — better than the shape
+    error jit would throw later); when omitted the size is auto-detected,
+    so a non-default checkpoint (``--initial_filters`` at train time,
+    DIVERGENCES.md 14d) evaluates/serves/exports with no extra flags."""
+    from crosstalk_tpu.config import ModelConfig
+
+    detected = infer_model_size(variables, variant)
+    width_key = ("initial_filters" if variant == "single"
+                 else "initial_filters_per_branch")
+    if initial_filters is not None and initial_filters != detected[width_key]:
+        raise ValueError(
+            f"--initial_filters {initial_filters} does not match the "
+            f"checkpoint (trained with {detected[width_key]})"
+        )
+    if num_conv_blocks is not None and variant == "single" and (
+        num_conv_blocks != detected["num_conv_blocks"]
+    ):
+        raise ValueError(
+            f"--num_conv_blocks {num_conv_blocks} does not match the "
+            f"checkpoint (trained with {detected['num_conv_blocks']})"
+        )
+    return ModelConfig(variant=variant, compute_dtype=compute_dtype,
+                       **detected)
+
+
 def _get(tree: dict, path: tuple):
     node = tree
     for key in path:

@@ -174,3 +174,37 @@ def test_init_distribution_matches_torch_bounds():
     bound = 1.0 / np.sqrt(3 * 3 * 2)
     assert np.abs(np.asarray(conv0)).max() <= bound
     assert np.abs(np.asarray(conv0)).max() > 0.8 * bound  # actually fills the range
+
+
+def test_infer_model_size_and_checkpoint_config():
+    """A checkpoint's width/depth is recoverable from its parameter tree,
+    and model_config_for_checkpoint validates size flags against it."""
+    import pytest
+
+    from crosstalk_tpu.io.torch_convert import (
+        infer_model_size,
+        model_config_for_checkpoint,
+    )
+
+    v = init_model(build_model(SMALL_SINGLE), jax.random.key(0), image_size=32)
+    assert infer_model_size(v, "single") == {
+        "initial_filters": SMALL_SINGLE.initial_filters,
+        "num_conv_blocks": SMALL_SINGLE.num_conv_blocks,
+    }
+    cfg = model_config_for_checkpoint("single", v, compute_dtype="f32")
+    assert cfg.initial_filters == SMALL_SINGLE.initial_filters
+    assert cfg.num_conv_blocks == SMALL_SINGLE.num_conv_blocks
+    with pytest.raises(ValueError, match="does not match the checkpoint"):
+        model_config_for_checkpoint(
+            "single", v, initial_filters=SMALL_SINGLE.initial_filters + 1
+        )
+
+    vd = init_model(build_model(SMALL_DOUBLE), jax.random.key(1), image_size=32)
+    assert infer_model_size(vd, "double") == {
+        "initial_filters_per_branch": SMALL_DOUBLE.initial_filters_per_branch,
+    }
+    with pytest.raises(ValueError, match="does not match the checkpoint"):
+        model_config_for_checkpoint(
+            "double", vd,
+            initial_filters=SMALL_DOUBLE.initial_filters_per_branch + 1,
+        )

@@ -573,15 +573,21 @@ def test_train_cli_custom_model_size_roundtrip(tmp_path):
     sd = torch.load(pth, map_location="cpu", weights_only=True)
     tmodel.load_state_dict(sd, strict=True)
 
-    # eval CLI must accept the custom size (and reject a depth override
-    # on the double model)
+    # eval CLI auto-detects the custom size from the checkpoint (no flags)
     rc = eval_main([
         "-m", mixed_dir, "-s", source_dir, "-p", pth, "-o", "single",
-        "--initial_filters", "8", "--num_conv_blocks", "3",
         "--batch_size", "4", "--num_devices", "1",
         "--output_base", str(tmp_path),
     ])
     assert rc == 0
+    # a mismatched size flag is a clear error, not a jit shape traceback
+    rc = eval_main([
+        "-m", mixed_dir, "-s", source_dir, "-p", pth, "-o", "single",
+        "--initial_filters", "16", "--batch_size", "4",
+        "--num_devices", "1", "--output_base", str(tmp_path),
+    ])
+    assert rc == 1
+    # depth override rejected outright for the double model
     assert eval_main(["-p", pth, "-o", "double", "--num_conv_blocks", "3"]) == 1
 
 

@@ -58,17 +58,24 @@ def main(argv=None) -> int:
         print("Error: --num_conv_blocks applies to the single-branch model "
               "only.")
         return 1
-    model_kw = {}
-    if args.initial_filters is not None:
-        key = ("initial_filters" if args.model_options == "single"
-               else "initial_filters_per_branch")
-        model_kw[key] = args.initial_filters
-    if args.num_conv_blocks is not None:
-        model_kw["num_conv_blocks"] = args.num_conv_blocks
     variables = load_pth(args.model_path, args.model_options)
-    cfg = ModelConfig(variant=args.model_options,
-                      compute_dtype="f32" if args.parity else "bf16",
-                      **model_kw)
+    # Size the model from the checkpoint itself (flags, when given, are
+    # validated against it)
+    from crosstalk_tpu.io.torch_convert import model_config_for_checkpoint
+
+    try:
+        cfg = model_config_for_checkpoint(
+            args.model_options, variables,
+            initial_filters=args.initial_filters,
+            num_conv_blocks=args.num_conv_blocks,
+            compute_dtype="f32" if args.parity else "bf16",
+        )
+    except ValueError as e:
+        print(f"Error: {e}")
+        return 1
+    if cfg != ModelConfig(variant=args.model_options,
+                          compute_dtype="f32" if args.parity else "bf16"):
+        print(f"Detected non-default model size from the checkpoint: {cfg}")
     print(f"Lowering for {args.platforms} "
           f"(batch {'dynamic' if args.batch_size is None else args.batch_size}, "
           f"{args.image_size}px, "
