@@ -242,8 +242,11 @@ def main(argv=None) -> int:
             image_size=image_size, fast=not args.parity, mesh=mesh,
             input_dtype=np.dtype(args.transport_dtype),
         )
+        from crosstalk_tpu.io.torch_convert import infer_model_size
+
         model_info = {
             "model": args.model_options,
+            **infer_model_size(variables, args.model_options),
             "checkpoint": args.model_path,
             "image_size": image_size,
             "path": "f32-parity" if args.parity else "bf16-serving",

@@ -11,7 +11,9 @@ from crosstalk_tpu.io.export import (
 )
 from crosstalk_tpu.io.torch_convert import (
     flax_to_torch,
+    infer_model_size,
     load_pth,
+    model_config_for_checkpoint,
     save_pth,
     torch_to_flax,
 )
@@ -24,6 +26,8 @@ __all__ = [
     "flax_to_torch",
     "load_pth",
     "save_pth",
+    "infer_model_size",
+    "model_config_for_checkpoint",
     "export_serving_model",
     "save_exported",
     "read_exported",

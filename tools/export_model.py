@@ -85,8 +85,11 @@ def main(argv=None) -> int:
         fast=not args.parity, platforms=args.platforms,
     )
     out = args.out or args.model_path + ".ctkx"
+    from crosstalk_tpu.io.torch_convert import infer_model_size
+
     save_exported(out, blob, weights, {
         "model": args.model_options,
+        **infer_model_size(variables, args.model_options),
         "checkpoint": os.path.basename(args.model_path),
         "batch_size": ("dynamic" if args.batch_size is None
                        else args.batch_size),
