@@ -779,6 +779,21 @@ def test_serve_cli_subprocess(tmp_path):
         np.testing.assert_allclose(out2["alpha"], golden2, atol=2e-3)
         assert not np.allclose(golden2, golden)  # the swap actually happened
 
+        # a reload candidate of a DIFFERENT model size is rejected (400)
+        # and the current model keeps serving
+        torch.manual_seed(9)
+        small = TorchSingle(initial_filters=8, num_blocks=3, image_size=64)
+        ckpt3 = str(tmp_path / "model3.pth")
+        torch.save(small.state_dict(), ckpt3)
+        try:
+            client.reload(ckpt3)
+            raise AssertionError("size-mismatched reload must fail")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "size mismatch" in e.read().decode()
+        out3 = _post_npz(url, mixed=mixed, source=source)
+        np.testing.assert_allclose(out3["alpha"], golden2, atol=2e-3)
+
         # SIGTERM drains gracefully: exit 0, shutdown message printed
         proc.terminate()
         rest = proc.communicate(timeout=60)[0]
