@@ -213,6 +213,11 @@ def model_config_for_checkpoint(
     DIVERGENCES.md 14d) evaluates/serves/exports with no extra flags."""
     from crosstalk_tpu.config import ModelConfig
 
+    if num_conv_blocks is not None and variant != "single":
+        raise ValueError(
+            "num_conv_blocks applies to the single-branch model only "
+            "(the two-branch trunk is fixed at 4 blocks per branch)"
+        )
     detected = infer_model_size(variables, variant)
     width_key = ("initial_filters" if variant == "single"
                  else "initial_filters_per_branch")

@@ -208,3 +208,13 @@ def test_infer_model_size_and_checkpoint_config():
             "double", vd,
             initial_filters=SMALL_DOUBLE.initial_filters_per_branch + 1,
         )
+
+
+def test_checkpoint_config_rejects_double_depth_override():
+    import pytest
+
+    from crosstalk_tpu.io.torch_convert import model_config_for_checkpoint
+
+    vd = init_model(build_model(SMALL_DOUBLE), jax.random.key(2), image_size=32)
+    with pytest.raises(ValueError, match="single-branch model only"):
+        model_config_for_checkpoint("double", vd, num_conv_blocks=3)
