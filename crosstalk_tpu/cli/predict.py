@@ -1,0 +1,181 @@
+"""Predict CLI — score UNLABELED paired tiles with a trained checkpoint.
+
+Deployment extension with no reference counterpart: every reference data
+path requires the ground-truth alpha embedded in the filename
+(``image_<ID>_alpha_<A>_(mixed|source).tif``, reference train_model.py:105;
+the eval CLI inherits it at test-cross-talk-model.py:133), so the reference
+cannot be pointed at NEW acquisitions — real data has no alpha to put in
+the name. This CLI pairs tiles by filename stem instead
+(``foo_mixed.tif`` <-> ``foo_source.tif``, ``scan3-bleed.tiff`` <->
+``scan3-source.tiff``, or identical names in both dirs; the labeled schema
+pairs too) and writes per-pair predicted alphas:
+
+    python -m crosstalk_tpu.cli.predict -m MIXED_DIR -s SOURCE_DIR -p model.pth
+
+Output: ``predict_run_{ts}/`` with ``params.txt`` and
+``predictions_{ts}.csv`` (``Image_Key,Mixed_File,Source_File,
+Predicted_Alpha``). Inference is the same device path as the eval CLI:
+jitted batched forward, f32 checkpoint-parity by default, ``--fast`` for
+the folded-BN bf16 serving path, data-parallel over ``--num_devices``.
+For scoring against a RUNNING server instead of a local checkpoint, see
+cli/remote_eval.py (labeled data) and serve/client.py (raw arrays).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Predict cross-talk alphas for unlabeled paired tiles."
+    )
+    parser.add_argument("-m", "--mixed_channel_data_dir", type=str,
+                        required=True, help="Directory for mixed channel data")
+    parser.add_argument("-s", "--pure_source_data_dir", type=str,
+                        required=True, help="Directory for pure source data")
+    parser.add_argument("-p", "--model_path", type=str, required=True,
+                        help="Path to the trained .pth checkpoint")
+    parser.add_argument("-o", "--model_options", type=str, default="single",
+                        choices=["single", "double"],
+                        help="Use single- or double-branch model")
+    parser.add_argument("-j", "--cpu_jobs", type=int, default=4,
+                        help="TIFF-decode threads")
+    parser.add_argument("-b", "--batch_size", type=int, default=64,
+                        help="Device batch size for inference")
+    parser.add_argument("--initial_filters", type=int, default=None,
+                        help="Model width override — must match the checkpoint")
+    parser.add_argument("--num_conv_blocks", type=int, default=None,
+                        help="Single-branch depth override — must match the "
+                             "checkpoint")
+    parser.add_argument("--compute_dtype", type=str, default="f32",
+                        choices=["f32", "bf16"],
+                        help="f32 = checkpoint-parity mode (default); "
+                             "bf16 = MXU-native fast mode")
+    parser.add_argument("--fast", action="store_true",
+                        help="Use the bf16 serving path (folded-BN forward, "
+                             "~6x faster; predictions within ~1e-4 of f32)")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="Data-parallel device count for inference "
+                             "(default: all visible devices)")
+    parser.add_argument("--output_base", type=str, default=".",
+                        help="Where to create the predict_run_* directory")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from crosstalk_tpu.data.index import pair_unlabeled
+    from crosstalk_tpu.data.pipeline import load_tiles
+    from crosstalk_tpu.io import artifacts
+    from crosstalk_tpu.io.torch_convert import (
+        load_pth,
+        model_config_for_checkpoint,
+    )
+    from crosstalk_tpu.serve.predictor import make_predictor
+    from crosstalk_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    device = jax.devices()[0]
+    n_dev = (len(jax.devices()) if args.num_devices is None
+             else args.num_devices)
+    if n_dev <= 0 or n_dev > len(jax.devices()):
+        print(f"Error: --num_devices {n_dev} requested but only "
+              f"{len(jax.devices())} device(s) are visible.")
+        return 1
+    print(f"Using device: {device.platform}:{device.device_kind} x{n_dev}")
+
+    try:
+        index = pair_unlabeled(args.mixed_channel_data_dir,
+                               args.pure_source_data_dir)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"Error pairing tiles: {e}")
+        return 1
+    samples = index.samples
+    print(f"Paired {len(samples)} tile pairs.")
+    for role, unpaired in (("mixed", index.unpaired_mixed),
+                           ("source", index.unpaired_source)):
+        if unpaired:
+            shown = ", ".join(unpaired[:5])
+            more = f", ... ({len(unpaired)} total)" if len(unpaired) > 5 else ""
+            print(f"Warning: {len(unpaired)} unpaired {role} file(s) "
+                  f"skipped: {shown}{more}")
+
+    print("\n--- Loading model weights ---")
+    try:
+        variables = load_pth(args.model_path, args.model_options)
+        model_cfg = model_config_for_checkpoint(
+            args.model_options, variables,
+            initial_filters=args.initial_filters,
+            num_conv_blocks=args.num_conv_blocks,
+            compute_dtype=args.compute_dtype,
+        )
+    except (FileNotFoundError, KeyError, ValueError) as e:
+        print(f"Error loading model from {args.model_path}: {e}")
+        return 1
+
+    print("\n--- Decoding tiles ---")
+    try:
+        tiles = load_tiles(samples, jobs=args.cpu_jobs)
+    except (ValueError, OSError) as e:
+        print(f"Error decoding tiles: {e}")
+        return 1
+    n, h, w, _ = tiles.shape
+    if h != w:
+        print(f"Error: tiles must be square, got {h}x{w}.")
+        return 1
+
+    # One compiled shape, no larger than needed; padded rows are masked out.
+    eff_batch = min(args.batch_size, n)
+    eff_batch += (-eff_batch) % n_dev  # mesh sharding needs divisibility
+    on_tpu = device.platform in ("tpu", "axon")
+    from crosstalk_tpu.parallel.mesh import data_mesh
+
+    mesh = data_mesh(n_dev) if n_dev > 1 else None
+    predict = make_predictor(
+        variables, model_cfg, batch_size=eff_batch, image_size=h,
+        fast=args.fast, mesh=mesh,
+        use_pallas=(args.fast and on_tpu and n_dev == 1),
+        warmup=False,
+    )
+
+    print("\n--- Predicting ---")
+    preds = np.empty((n,), dtype=np.float32)
+    for start in range(0, n, eff_batch):
+        chunk = tiles[start:start + eff_batch]
+        real = chunk.shape[0]
+        if real < eff_batch:
+            pad = np.zeros((eff_batch - real, h, w, 2), dtype=np.float32)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        preds[start:start + real] = predict(chunk)[:real]
+
+    ts = artifacts.timestamp()
+    output_dir = artifacts.make_predict_run_dir(args.output_base, ts)
+    artifacts.write_params_txt(output_dir, vars(args))
+    fieldnames = ["Image_Key", "Mixed_File", "Source_File", "Predicted_Alpha"]
+    rows = [
+        {
+            "Image_Key": s.image_id,
+            "Mixed_File": os.path.basename(s.mixed_path),
+            "Source_File": os.path.basename(s.source_path),
+            "Predicted_Alpha": f"{float(p):.6f}",
+        }
+        for s, p in zip(samples, preds)
+    ]
+    csv_path = artifacts.write_predictions_csv(
+        os.path.join(output_dir, f"predictions_{ts}.csv"), rows, fieldnames
+    )
+    print(f"Predictions for {n} pairs saved to {csv_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,4 +1,10 @@
-from crosstalk_tpu.data.index import PairIndex, Sample, split_samples
+from crosstalk_tpu.data.index import (
+    PairIndex,
+    Sample,
+    UnlabeledIndex,
+    pair_unlabeled,
+    split_samples,
+)
 from crosstalk_tpu.data.pipeline import (
     Batch,
     DeviceDataset,
@@ -14,6 +20,8 @@ from crosstalk_tpu.data.transforms import normalize_tile, paired_random_flips
 __all__ = [
     "PairIndex",
     "Sample",
+    "UnlabeledIndex",
+    "pair_unlabeled",
     "split_samples",
     "read_tile",
     "normalize_tile",

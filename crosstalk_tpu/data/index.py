@@ -108,6 +108,97 @@ class PairIndex:
         return self.samples[i]
 
 
+# --- unlabeled pairing (deployment extension, no reference counterpart) ---
+#
+# The reference can only read tiles whose filenames embed the ground-truth
+# alpha (the FILE_PATTERN above — train_model.py:105), which makes applying a
+# trained model to NEW data impossible offline: real acquisitions have no
+# alpha to put in the name. ``pair_unlabeled`` pairs tiles by filename stem
+# instead, for the predict CLI (cli/predict.py).
+
+_TIF_EXTS = (".tif", ".tiff")
+_ROLE_TOKENS = {
+    "mixed": ("mixed", "bleed"),
+    "source": ("source", "pure"),
+}
+
+
+def _unlabeled_key(filename: str, role: str) -> Optional[str]:
+    """Pairing key for an unlabeled tile: the stem, with a trailing
+    role token (``_mixed``/``-bleed``/``.source``/...) stripped so the two
+    directories' conventional namings line up. Identical filenames in both
+    dirs pair too (no token to strip). Non-TIFF files map to ``None``."""
+    stem, ext = os.path.splitext(filename)
+    if ext.lower() not in _TIF_EXTS:
+        return None
+    low = stem.lower()
+    for token in _ROLE_TOKENS[role]:
+        for sep in ("_", "-", "."):
+            suffix = sep + token
+            if low.endswith(suffix):
+                return stem[: -len(suffix)]
+    return stem
+
+
+@dataclasses.dataclass(frozen=True)
+class UnlabeledIndex:
+    """Result of ``pair_unlabeled``: paired samples (``scalar_label`` is NaN —
+    there is no ground truth) plus the filenames that found no partner."""
+
+    samples: List[Sample]
+    unpaired_mixed: List[str]
+    unpaired_source: List[str]
+
+
+def pair_unlabeled(mixed_dir: str, source_dir: str) -> UnlabeledIndex:
+    """Pair (mixed, source) tiles across two directories by filename stem.
+
+    Unlike ``PairIndex`` this needs no alpha in the name: ``foo_mixed.tif``
+    pairs with ``foo_source.tif``, ``scan3-bleed.tiff`` with
+    ``scan3-source.tiff``, and ``cell7.tif`` with ``cell7.tif``. The labeled
+    reference schema also pairs naturally (its ``_mixed``/``_source`` suffixes
+    strip to the same key). Raises ``ValueError`` on an ambiguous directory
+    (two files normalizing to one key) or when nothing pairs.
+    """
+    def scan(directory: str, role: str) -> dict:
+        keyed: dict = {}
+        for filename in sorted(os.listdir(directory)):
+            key = _unlabeled_key(filename, role)
+            if key is None:
+                continue
+            if key in keyed:
+                raise ValueError(
+                    f"Ambiguous {role} directory: '{keyed[key]}' and "
+                    f"'{filename}' both normalize to pairing key '{key}'."
+                )
+            keyed[key] = filename
+        return keyed
+
+    mixed = scan(mixed_dir, "mixed")
+    source = scan(source_dir, "source")
+
+    samples = [
+        Sample(
+            image_id=key,
+            scalar_label=float("nan"),
+            mixed_path=os.path.join(mixed_dir, mixed[key]),
+            source_path=os.path.join(source_dir, source[key]),
+        )
+        for key in sorted(mixed.keys() & source.keys())
+    ]
+    if not samples:
+        raise ValueError(
+            "No pairable tiles found: no filename stem (after stripping a "
+            "trailing _mixed/_bleed or _source/_pure token) appears in both "
+            "directories."
+        )
+    return UnlabeledIndex(
+        samples=samples,
+        unpaired_mixed=sorted(mixed[k] for k in mixed.keys() - source.keys()),
+        unpaired_source=sorted(source[k] for k in source.keys() - mixed.keys()),
+    )
+
+
 def split_samples(
     samples: Sequence[Sample],
     train_ratio: float,

@@ -68,6 +68,12 @@ def make_eval_run_dir(base: str, ts: str) -> str:
     return path
 
 
+def make_predict_run_dir(base: str, ts: str) -> str:
+    path = os.path.join(base, f"predict_run_{ts}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def write_params_txt(run_dir: str, args_dict: Dict,
                      filename: str = "params.txt") -> str:
     """'{arg}: {value}' per line (train_model.py:547-553)."""

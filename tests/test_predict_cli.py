@@ -1,0 +1,177 @@
+"""Unlabeled pairing + predict-CLI tests.
+
+The predict CLI (cli/predict.py) is a deployment extension with no
+reference counterpart: the reference's data paths all require the
+ground-truth alpha in the filename (reference train_model.py:105), so it
+cannot score new, unlabeled acquisitions. These tests cover the stem-based
+pairing rules and the end-to-end CLI contract (predict_run_* layout, CSV
+schema, parity with the torch twin model).
+"""
+
+import csv
+import glob
+import math
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from crosstalk_tpu.data.index import pair_unlabeled
+from crosstalk_tpu.data.tiff import write_tile
+from tests.torch_ref import TorchSingle, burn_in_batch_stats
+
+
+def _write_pair(mixed_dir, source_dir, mixed_name, source_name, size=16, seed=0):
+    rng = np.random.default_rng(seed)
+    write_tile(os.path.join(mixed_dir, mixed_name), rng.random((size, size)))
+    write_tile(os.path.join(source_dir, source_name), rng.random((size, size)))
+
+
+def _dirs(tmp_path):
+    mixed = tmp_path / "Mixed"
+    source = tmp_path / "Source"
+    mixed.mkdir()
+    source.mkdir()
+    return str(mixed), str(source)
+
+
+def test_pair_unlabeled_suffix_conventions(tmp_path):
+    mixed, source = _dirs(tmp_path)
+    _write_pair(mixed, source, "foo_mixed.tif", "foo_source.tif", seed=1)
+    _write_pair(mixed, source, "scan3-bleed.tiff", "scan3-source.tiff", seed=2)
+    _write_pair(mixed, source, "cell7.tif", "cell7.tif", seed=3)
+    # unpaired + ignorable files
+    write_tile(os.path.join(mixed, "lonely_mixed.tif"),
+               np.zeros((16, 16)) + 0.5)
+    write_tile(os.path.join(source, "orphan_source.tif"),
+               np.zeros((16, 16)) + 0.5)
+    with open(os.path.join(mixed, "notes.txt"), "w") as f:
+        f.write("not a tif")
+
+    index = pair_unlabeled(mixed, source)
+    assert [s.image_id for s in index.samples] == ["cell7", "foo", "scan3"]
+    assert all(math.isnan(s.scalar_label) for s in index.samples)
+    assert index.unpaired_mixed == ["lonely_mixed.tif"]
+    assert index.unpaired_source == ["orphan_source.tif"]
+    by_key = {s.image_id: s for s in index.samples}
+    assert by_key["scan3"].mixed_path.endswith("scan3-bleed.tiff")
+    assert by_key["scan3"].source_path.endswith("scan3-source.tiff")
+    assert by_key["cell7"].mixed_path != by_key["cell7"].source_path
+
+
+def test_pair_unlabeled_accepts_reference_schema(tmp_path):
+    mixed, source = _dirs(tmp_path)
+    _write_pair(mixed, source,
+                "image_42_alpha_0.25_mixed.tif",
+                "image_42_alpha_0.25_source.tif")
+    index = pair_unlabeled(mixed, source)
+    assert [s.image_id for s in index.samples] == ["image_42_alpha_0.25"]
+
+
+def test_pair_unlabeled_ambiguous_key_raises(tmp_path):
+    mixed, source = _dirs(tmp_path)
+    _write_pair(mixed, source, "foo_mixed.tif", "foo_source.tif")
+    write_tile(os.path.join(mixed, "foo_bleed.tif"), np.zeros((16, 16)) + 0.1)
+    with pytest.raises(ValueError, match="Ambiguous mixed"):
+        pair_unlabeled(mixed, source)
+
+
+def test_pair_unlabeled_nothing_pairs_raises(tmp_path):
+    mixed, source = _dirs(tmp_path)
+    write_tile(os.path.join(mixed, "a_mixed.tif"), np.zeros((16, 16)) + 0.1)
+    write_tile(os.path.join(source, "b_source.tif"), np.zeros((16, 16)) + 0.2)
+    with pytest.raises(ValueError, match="No pairable tiles"):
+        pair_unlabeled(mixed, source)
+
+
+def test_predict_cli_end_to_end(tmp_path):
+    from crosstalk_tpu.cli.predict import main as predict_main
+
+    mixed, source = _dirs(tmp_path)
+    n, size = 6, 32
+    rng = np.random.default_rng(7)
+    for i in range(n):
+        write_tile(os.path.join(mixed, f"acq{i}_mixed.tif"),
+                   rng.random((size, size)))
+        write_tile(os.path.join(source, f"acq{i}_source.tif"),
+                   rng.random((size, size)))
+
+    torch.manual_seed(11)
+    tmodel = TorchSingle(initial_filters=8, num_blocks=3, image_size=size)
+    burn_in_batch_stats(tmodel, size, steps=2)
+    ckpt = str(tmp_path / "model.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    out_base = str(tmp_path / "out")
+    # batch 4 over 6 pairs exercises the padded final chunk; the non-default
+    # model width exercises checkpoint size auto-detection on this path.
+    rc = predict_main([
+        "-m", mixed, "-s", source, "-p", ckpt, "-j", "2",
+        "-b", "4", "--output_base", out_base,
+    ])
+    assert rc == 0
+
+    run_dirs = glob.glob(os.path.join(out_base, "predict_run_*"))
+    assert len(run_dirs) == 1
+    assert os.path.exists(os.path.join(run_dirs[0], "params.txt"))
+    csvs = glob.glob(os.path.join(run_dirs[0], "predictions_*.csv"))
+    assert len(csvs) == 1
+    with open(csvs[0]) as f:
+        rows = list(csv.DictReader(f))
+    assert list(rows[0].keys()) == [
+        "Image_Key", "Mixed_File", "Source_File", "Predicted_Alpha"
+    ]
+    assert [r["Image_Key"] for r in rows] == [f"acq{i}" for i in range(n)]
+    assert rows[0]["Mixed_File"] == "acq0_mixed.tif"
+    assert rows[0]["Source_File"] == "acq0_source.tif"
+
+    # parity vs the torch twin on the same normalized tiles
+    tiles = np.empty((n, size, size, 2), dtype=np.float32)
+    from crosstalk_tpu.data.tiff import read_tile
+
+    for i in range(n):
+        tiles[i, :, :, 0] = read_tile(os.path.join(mixed, f"acq{i}_mixed.tif"))
+        tiles[i, :, :, 1] = read_tile(
+            os.path.join(source, f"acq{i}_source.tif"))
+    lo = tiles.min(axis=(1, 2), keepdims=True)
+    hi = tiles.max(axis=(1, 2), keepdims=True)
+    batch = (tiles - lo) / (hi - lo)
+    with torch.no_grad():
+        golden = tmodel(
+            torch.from_numpy(batch.transpose(0, 3, 1, 2))
+        ).numpy().ravel()
+    got = np.array([float(r["Predicted_Alpha"]) for r in rows])
+    np.testing.assert_allclose(got, golden, atol=1e-4)
+
+
+def test_predict_cli_fast_path_matches_parity_path(tmp_path):
+    from crosstalk_tpu.cli.predict import main as predict_main
+
+    mixed, source = _dirs(tmp_path)
+    size = 32
+    rng = np.random.default_rng(5)
+    for i in range(3):
+        write_tile(os.path.join(mixed, f"t{i}_mixed.tif"),
+                   rng.random((size, size)))
+        write_tile(os.path.join(source, f"t{i}_source.tif"),
+                   rng.random((size, size)))
+    torch.manual_seed(2)
+    tmodel = TorchSingle(initial_filters=8, num_blocks=3, image_size=size)
+    burn_in_batch_stats(tmodel, size, steps=2)
+    ckpt = str(tmp_path / "model.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    outs = {}
+    for label, extra in (("f32", []), ("fast", ["--fast"])):
+        out_base = str(tmp_path / f"out_{label}")
+        rc = predict_main(["-m", mixed, "-s", source, "-p", ckpt,
+                           "--output_base", out_base] + extra)
+        assert rc == 0
+        csv_path = glob.glob(
+            os.path.join(out_base, "predict_run_*", "predictions_*.csv"))[0]
+        with open(csv_path) as f:
+            outs[label] = np.array(
+                [float(r["Predicted_Alpha"]) for r in csv.DictReader(f)])
+    np.testing.assert_allclose(outs["fast"], outs["f32"], atol=5e-3)
