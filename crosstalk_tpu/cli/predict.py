@@ -10,15 +10,20 @@ the name. This CLI pairs tiles by filename stem instead
 ``scan3-source.tiff``, or identical names in both dirs; the labeled schema
 pairs too) and writes per-pair predicted alphas:
 
+    # local checkpoint
     python -m crosstalk_tpu.cli.predict -m MIXED_DIR -s SOURCE_DIR -p model.pth
+    # or against a running server (cli/serve.py) — no weights/accelerator here
+    python -m crosstalk_tpu.cli.predict -m MIXED_DIR -s SOURCE_DIR \\
+        --url http://tpu-host:8000
 
 Output: ``predict_run_{ts}/`` with ``params.txt`` and
 ``predictions_{ts}.csv`` (``Image_Key,Mixed_File,Source_File,
-Predicted_Alpha``). Inference is the same device path as the eval CLI:
-jitted batched forward, f32 checkpoint-parity by default, ``--fast`` for
-the folded-BN bf16 serving path, data-parallel over ``--num_devices``.
-For scoring against a RUNNING server instead of a local checkpoint, see
-cli/remote_eval.py (labeled data) and serve/client.py (raw arrays).
+Predicted_Alpha``). Local inference is the same device path as the eval
+CLI: jitted batched forward, f32 checkpoint-parity by default, ``--fast``
+for the folded-BN bf16 serving path, data-parallel over ``--num_devices``.
+Remote mode ships tiles over the serving wire (float16 payloads by
+default — PERF_NOTES "Online serving stack"). For LABELED directories
+scored against a server, see cli/remote_eval.py.
 """
 
 from __future__ import annotations
@@ -38,8 +43,21 @@ def build_parser() -> argparse.ArgumentParser:
                         required=True, help="Directory for mixed channel data")
     parser.add_argument("-s", "--pure_source_data_dir", type=str,
                         required=True, help="Directory for pure source data")
-    parser.add_argument("-p", "--model_path", type=str, required=True,
-                        help="Path to the trained .pth checkpoint")
+    parser.add_argument("-p", "--model_path", type=str, default=None,
+                        help="Path to the trained .pth checkpoint "
+                             "(local inference; exactly one of -p/--url)")
+    parser.add_argument("--url", type=str, default=None,
+                        help="Base URL of a running crosstalk server "
+                             "(remote inference; exactly one of -p/--url)")
+    parser.add_argument("--request_tiles", type=int, default=64,
+                        help="Remote mode: tiles per HTTP request (must be "
+                             "within the server's --max_tiles)")
+    parser.add_argument("--dtype", type=str, default="float16",
+                        choices=["float16", "float32"],
+                        help="Remote mode: payload dtype; float16 halves "
+                             "the upload with ~1e-3 alpha perturbation")
+    parser.add_argument("--timeout", type=float, default=300.0,
+                        help="Remote mode: per-request timeout, seconds")
     parser.add_argument("-o", "--model_options", type=str, default="single",
                         choices=["single", "double"],
                         help="Use single- or double-branch model")
@@ -67,18 +85,15 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-
+def _predict_local(args, tiles):
+    """(n,) f32 predictions from a local checkpoint, or None on error."""
     import numpy as np
 
-    from crosstalk_tpu.data.index import pair_unlabeled
-    from crosstalk_tpu.data.pipeline import load_tiles
-    from crosstalk_tpu.io import artifacts
     from crosstalk_tpu.io.torch_convert import (
         load_pth,
         model_config_for_checkpoint,
     )
+    from crosstalk_tpu.parallel.mesh import data_mesh
     from crosstalk_tpu.serve.predictor import make_predictor
     from crosstalk_tpu.utils.cache import enable_compilation_cache
 
@@ -90,24 +105,8 @@ def main(argv=None) -> int:
     if n_dev <= 0 or n_dev > len(jax.devices()):
         print(f"Error: --num_devices {n_dev} requested but only "
               f"{len(jax.devices())} device(s) are visible.")
-        return 1
+        return None
     print(f"Using device: {device.platform}:{device.device_kind} x{n_dev}")
-
-    try:
-        index = pair_unlabeled(args.mixed_channel_data_dir,
-                               args.pure_source_data_dir)
-    except (ValueError, FileNotFoundError) as e:
-        print(f"Error pairing tiles: {e}")
-        return 1
-    samples = index.samples
-    print(f"Paired {len(samples)} tile pairs.")
-    for role, unpaired in (("mixed", index.unpaired_mixed),
-                           ("source", index.unpaired_source)):
-        if unpaired:
-            shown = ", ".join(unpaired[:5])
-            more = f", ... ({len(unpaired)} total)" if len(unpaired) > 5 else ""
-            print(f"Warning: {len(unpaired)} unpaired {role} file(s) "
-                  f"skipped: {shown}{more}")
 
     print("\n--- Loading model weights ---")
     try:
@@ -120,25 +119,13 @@ def main(argv=None) -> int:
         )
     except (FileNotFoundError, KeyError, ValueError) as e:
         print(f"Error loading model from {args.model_path}: {e}")
-        return 1
+        return None
 
-    print("\n--- Decoding tiles ---")
-    try:
-        tiles = load_tiles(samples, jobs=args.cpu_jobs)
-    except (ValueError, OSError) as e:
-        print(f"Error decoding tiles: {e}")
-        return 1
     n, h, w, _ = tiles.shape
-    if h != w:
-        print(f"Error: tiles must be square, got {h}x{w}.")
-        return 1
-
     # One compiled shape, no larger than needed; padded rows are masked out.
     eff_batch = min(args.batch_size, n)
     eff_batch += (-eff_batch) % n_dev  # mesh sharding needs divisibility
     on_tpu = device.platform in ("tpu", "axon")
-    from crosstalk_tpu.parallel.mesh import data_mesh
-
     mesh = data_mesh(n_dev) if n_dev > 1 else None
     predict = make_predictor(
         variables, model_cfg, batch_size=eff_batch, image_size=h,
@@ -156,6 +143,92 @@ def main(argv=None) -> int:
             pad = np.zeros((eff_batch - real, h, w, 2), dtype=np.float32)
             chunk = np.concatenate([chunk, pad], axis=0)
         preds[start:start + real] = predict(chunk)[:real]
+    return preds
+
+
+def _predict_remote(args, tiles):
+    """(n,) f32 predictions from a running server, or None on error."""
+    import numpy as np
+
+    from crosstalk_tpu.serve.client import CrosstalkClient
+
+    client = CrosstalkClient(args.url, timeout=args.timeout)
+    try:
+        health = client.health()
+    except Exception as e:
+        print(f"Error: server at {args.url} is not reachable: {e}")
+        return None
+    print(f"Server: {health}")
+
+    print("\n--- Predicting (remote) ---")
+    n = tiles.shape[0]
+    preds = np.empty((n,), dtype=np.float32)
+    for start in range(0, n, args.request_tiles):
+        stop = min(start + args.request_tiles, n)
+        try:
+            preds[start:stop] = client.predict(
+                np.asarray(tiles[start:stop], np.float32), dtype=args.dtype
+            )
+        except Exception as e:
+            print(f"Error: prediction request failed at rows "
+                  f"{start}:{stop}: {e}")
+            return None
+        print(f"  {stop}/{n} tiles scored", end="\r", flush=True)
+    print()
+    return preds
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from crosstalk_tpu.data.index import pair_unlabeled
+    from crosstalk_tpu.data.pipeline import load_tiles
+    from crosstalk_tpu.io import artifacts
+
+    if (args.model_path is None) == (args.url is None):
+        print("Error: exactly one of -p/--model_path (local inference) or "
+              "--url (remote inference) is required.")
+        return 1
+    if args.url is not None and args.request_tiles <= 0:
+        print(f"Error: --request_tiles must be positive, "
+              f"got {args.request_tiles}")
+        return 1
+
+    try:
+        index = pair_unlabeled(args.mixed_channel_data_dir,
+                               args.pure_source_data_dir)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"Error pairing tiles: {e}")
+        return 1
+    samples = index.samples
+    print(f"Paired {len(samples)} tile pairs.")
+    for role, unpaired in (("mixed", index.unpaired_mixed),
+                           ("source", index.unpaired_source)):
+        if unpaired:
+            shown = ", ".join(unpaired[:5])
+            more = f", ... ({len(unpaired)} total)" if len(unpaired) > 5 else ""
+            print(f"Warning: {len(unpaired)} unpaired {role} file(s) "
+                  f"skipped: {shown}{more}")
+
+    print("\n--- Decoding tiles ---")
+    try:
+        tiles = load_tiles(samples, jobs=args.cpu_jobs)
+    except (ValueError, OSError) as e:
+        print(f"Error decoding tiles: {e}")
+        return 1
+    n, h, w, _ = tiles.shape
+    if h != w:
+        print(f"Error: tiles must be square, got {h}x{w}.")
+        return 1
+
+    if args.url is not None:
+        preds = _predict_remote(args, tiles)
+    else:
+        preds = _predict_local(args, tiles)
+    if preds is None:
+        return 1
 
     ts = artifacts.timestamp()
     output_dir = artifacts.make_predict_run_dir(args.output_base, ts)

@@ -146,6 +146,69 @@ def test_predict_cli_end_to_end(tmp_path):
     np.testing.assert_allclose(got, golden, atol=1e-4)
 
 
+def test_predict_cli_requires_exactly_one_inference_source(tmp_path):
+    from crosstalk_tpu.cli.predict import main as predict_main
+
+    mixed, source = _dirs(tmp_path)
+    _write_pair(mixed, source, "a_mixed.tif", "a_source.tif")
+    assert predict_main(["-m", mixed, "-s", source]) == 1
+    assert predict_main(["-m", mixed, "-s", source,
+                         "-p", "x.pth", "--url", "http://h:1"]) == 1
+
+
+def test_predict_cli_remote_mode_against_running_server(tmp_path):
+    import jax
+
+    from crosstalk_tpu.cli.predict import main as predict_main
+    from crosstalk_tpu.config import ModelConfig
+    from crosstalk_tpu.models import build_model, init_model
+    from crosstalk_tpu.serve.predictor import make_predictor
+    from crosstalk_tpu.serve.server import CrosstalkServer
+
+    mixed, source = _dirs(tmp_path)
+    n, size = 5, 32
+    rng = np.random.default_rng(9)
+    tiles = rng.random((n, size, size, 2)).astype(np.float32)
+    for i in range(n):
+        write_tile(os.path.join(mixed, f"r{i}_mixed.tif"), tiles[i, :, :, 0])
+        write_tile(os.path.join(source, f"r{i}_source.tif"), tiles[i, :, :, 1])
+
+    cfg = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=3,
+                      compute_dtype="f32")
+    model = build_model(cfg)
+    variables = init_model(model, jax.random.key(0), image_size=size, batch=2)
+    predict = make_predictor(variables, cfg, batch_size=4, image_size=size,
+                             fast=False)
+    server = CrosstalkServer(predict, batch_size=4, image_size=size,
+                             port=0, max_delay_ms=2.0,
+                             model_info={"model": "single"})
+    server.start_background()
+    try:
+        host, port = server.address
+        out_base = str(tmp_path / "out")
+        rc = predict_main([
+            "-m", mixed, "-s", source, "--url", f"http://{host}:{port}",
+            "--request_tiles", "2", "--dtype", "float32",
+            "--output_base", out_base,
+        ])
+        assert rc == 0
+        csv_path = glob.glob(
+            os.path.join(out_base, "predict_run_*", "predictions_*.csv"))[0]
+        with open(csv_path) as f:
+            rows = list(csv.DictReader(f))
+        assert [r["Image_Key"] for r in rows] == [f"r{i}" for i in range(n)]
+        got = np.array([float(r["Predicted_Alpha"]) for r in rows])
+        golden = np.concatenate([
+            predict(tiles[:4]),
+            predict(np.concatenate(
+                [tiles[4:], np.zeros((3, size, size, 2), np.float32)]
+            ))[:1],
+        ])
+        np.testing.assert_allclose(got, golden, atol=1e-4)
+    finally:
+        server.shutdown()
+
+
 def test_predict_cli_fast_path_matches_parity_path(tmp_path):
     from crosstalk_tpu.cli.predict import main as predict_main
 
