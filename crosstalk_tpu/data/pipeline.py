@@ -85,8 +85,16 @@ def load_tiles(
             return out
 
     def _load(i: int) -> None:
-        out[i, :, :, 0] = read_tile(samples[i].mixed_path)
-        out[i, :, :, 1] = read_tile(samples[i].source_path)
+        for c, path in ((0, samples[i].mixed_path), (1, samples[i].source_path)):
+            tile = read_tile(path)
+            if tile.shape != (h, w):
+                raise ValueError(
+                    f"inconsistent tile size: '{path}' is {tile.shape}, "
+                    f"expected {(h, w)} (set by the first tile, "
+                    f"'{samples[0].mixed_path}') — all tiles in a dataset "
+                    "must share one size"
+                )
+            out[i, :, :, c] = tile
 
     if jobs > 1:
         with cf.ThreadPoolExecutor(max_workers=jobs) as pool:

@@ -144,6 +144,28 @@ def test_load_tiles_parallel_equals_serial(synthetic_data_dirs):
     np.testing.assert_array_equal(serial, parallel)
 
 
+def test_load_tiles_inconsistent_size_clear_error(tmp_path):
+    """A valid TIFF of the wrong size must produce a clear ValueError naming
+    the offending file (the native decoder rejects the size mismatch and the
+    Python fallback must not surface a cryptic broadcast error)."""
+    from crosstalk_tpu.data.index import Sample
+    from crosstalk_tpu.data.tiff import write_tile
+
+    paths = {}
+    for name, size in (("a_mixed", 16), ("a_source", 16),
+                       ("b_mixed", 32), ("b_source", 16)):
+        p = str(tmp_path / f"{name}.tif")
+        write_tile(p, np.zeros((size, size)) + 0.5)
+        paths[name] = p
+    samples = [
+        Sample("a", 0.1, paths["a_mixed"], paths["a_source"]),
+        Sample("b", 0.2, paths["b_mixed"], paths["b_source"]),
+    ]
+    for jobs in (1, 4):
+        with pytest.raises(ValueError, match="inconsistent tile size.*b_mixed"):
+            load_tiles(samples, jobs=jobs, use_native=False)
+
+
 def test_parse_raw_tiff_malformed_returns_none(tmp_path):
     """Corrupt/truncated TIFF bytes must return None (-> imageio fallback),
     never raise struct.error/IndexError out of the cache build."""
