@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "(default: all visible devices)")
     parser.add_argument("--output_base", type=str, default=".",
                         help="Where to create the predict_run_* directory")
+    parser.add_argument("--unmix", action="store_true",
+                        help="Also write crosstalk-CORRECTED mixed tiles "
+                             "(mixed - alpha*source, clipped at 0, float32 "
+                             "TIFF) into predict_run_*/unmixed/")
     return parser
 
 
@@ -247,6 +251,28 @@ def main(argv=None) -> int:
         os.path.join(output_dir, f"predictions_{ts}.csv"), rows, fieldnames
     )
     print(f"Predictions for {n} pairs saved to {csv_path}")
+
+    if args.unmix:
+        # The point of knowing alpha: remove the bleed-through. The mixing
+        # model is mixed = signal + alpha*source in RAW intensity space
+        # (reference README.md:5; data/synthetic.py generates exactly this),
+        # so the correction subtracts there too — normalization is only a
+        # model-input convention. Negative residuals are clipped (intensity
+        # can't be negative; they are prediction-error noise).
+        from crosstalk_tpu.data.tiff import write_tile
+
+        unmix_dir = os.path.join(output_dir, "unmixed")
+        os.makedirs(unmix_dir, exist_ok=True)
+        for i, s in enumerate(samples):
+            corrected = np.clip(
+                tiles[i, :, :, 0] - float(preds[i]) * tiles[i, :, :, 1],
+                0.0, None,
+            ).astype(np.float32)
+            write_tile(
+                os.path.join(unmix_dir, f"{s.image_id}_unmixed.tif"),
+                corrected,
+            )
+        print(f"Crosstalk-corrected tiles for {n} pairs saved to {unmix_dir}/")
     return 0
 
 

@@ -209,6 +209,84 @@ def test_predict_cli_remote_mode_against_running_server(tmp_path):
         server.shutdown()
 
 
+def test_predict_cli_unmix_recovers_clean_signal(tmp_path):
+    """--unmix with the true alpha must recover the clean channel exactly:
+    mixed = other + alpha*source  ->  mixed - alpha*source == other.
+    Served by a constant-alpha predictor so the recovery is exact."""
+    from crosstalk_tpu.cli.predict import main as predict_main
+    from crosstalk_tpu.data.tiff import read_tile
+    from crosstalk_tpu.serve.server import CrosstalkServer
+
+    mixed, source = _dirs(tmp_path)
+    n, size, alpha = 3, 16, 0.3
+    rng = np.random.default_rng(21)
+    others = rng.random((n, size, size))
+    sources = rng.random((n, size, size))
+    for i in range(n):
+        write_tile(os.path.join(mixed, f"u{i}_mixed.tif"),
+                   others[i] + alpha * sources[i])
+        write_tile(os.path.join(source, f"u{i}_source.tif"), sources[i])
+
+    def oracle(batch):
+        return np.full((batch.shape[0],), alpha, np.float32)
+
+    server = CrosstalkServer(oracle, batch_size=4, image_size=size,
+                             port=0, max_delay_ms=2.0, model_info={})
+    server.start_background()
+    try:
+        host, port = server.address
+        out_base = str(tmp_path / "out")
+        rc = predict_main([
+            "-m", mixed, "-s", source, "--url", f"http://{host}:{port}",
+            "--dtype", "float32", "--output_base", out_base, "--unmix",
+        ])
+        assert rc == 0
+        unmix_dir = glob.glob(
+            os.path.join(out_base, "predict_run_*", "unmixed"))[0]
+        for i in range(n):
+            corrected = read_tile(os.path.join(unmix_dir, f"u{i}_unmixed.tif"))
+            np.testing.assert_allclose(
+                corrected, others[i].astype(np.float32), atol=2e-6)
+    finally:
+        server.shutdown()
+
+
+def test_predict_cli_unmix_matches_csv_alphas(tmp_path):
+    """Local-checkpoint --unmix: each written tile is exactly
+    clip(mixed - Predicted_Alpha*source, 0) for the CSV's alpha."""
+    from crosstalk_tpu.cli.predict import main as predict_main
+    from crosstalk_tpu.data.tiff import read_tile
+
+    mixed, source = _dirs(tmp_path)
+    n, size = 3, 32
+    rng = np.random.default_rng(13)
+    for i in range(n):
+        write_tile(os.path.join(mixed, f"m{i}_mixed.tif"),
+                   rng.random((size, size)))
+        write_tile(os.path.join(source, f"m{i}_source.tif"),
+                   rng.random((size, size)))
+    torch.manual_seed(6)
+    tmodel = TorchSingle(initial_filters=8, num_blocks=3, image_size=size)
+    burn_in_batch_stats(tmodel, size, steps=2)
+    ckpt = str(tmp_path / "model.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    out_base = str(tmp_path / "out")
+    rc = predict_main(["-m", mixed, "-s", source, "-p", ckpt,
+                       "--output_base", out_base, "--unmix"])
+    assert rc == 0
+    run_dir = glob.glob(os.path.join(out_base, "predict_run_*"))[0]
+    with open(glob.glob(os.path.join(run_dir, "predictions_*.csv"))[0]) as f:
+        rows = list(csv.DictReader(f))
+    for r in rows:
+        m = read_tile(os.path.join(mixed, r["Mixed_File"]))
+        s = read_tile(os.path.join(source, r["Source_File"]))
+        want = np.clip(m - float(r["Predicted_Alpha"]) * s, 0.0, None)
+        got = read_tile(
+            os.path.join(run_dir, "unmixed", f"{r['Image_Key']}_unmixed.tif"))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+
 def test_predict_cli_fast_path_matches_parity_path(tmp_path):
     from crosstalk_tpu.cli.predict import main as predict_main
 
