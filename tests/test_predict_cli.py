@@ -287,6 +287,40 @@ def test_predict_cli_unmix_matches_csv_alphas(tmp_path):
         np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+def test_predict_cli_multi_device_matches_single(tmp_path):
+    """--num_devices 2 (mesh-sharded batches) must reproduce the
+    single-device predictions on the virtual CPU mesh."""
+    from crosstalk_tpu.cli.predict import main as predict_main
+
+    mixed, source = _dirs(tmp_path)
+    n, size = 6, 32
+    rng = np.random.default_rng(17)
+    for i in range(n):
+        write_tile(os.path.join(mixed, f"d{i}_mixed.tif"),
+                   rng.random((size, size)))
+        write_tile(os.path.join(source, f"d{i}_source.tif"),
+                   rng.random((size, size)))
+    torch.manual_seed(8)
+    tmodel = TorchSingle(initial_filters=8, num_blocks=3, image_size=size)
+    burn_in_batch_stats(tmodel, size, steps=2)
+    ckpt = str(tmp_path / "model.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    preds = {}
+    for label, extra in (("one", ["--num_devices", "1"]),
+                         ("two", ["--num_devices", "2"])):
+        out_base = str(tmp_path / f"out_{label}")
+        rc = predict_main(["-m", mixed, "-s", source, "-p", ckpt,
+                           "-b", "4", "--output_base", out_base] + extra)
+        assert rc == 0
+        csv_path = glob.glob(
+            os.path.join(out_base, "predict_run_*", "predictions_*.csv"))[0]
+        with open(csv_path) as f:
+            preds[label] = np.array(
+                [float(r["Predicted_Alpha"]) for r in csv.DictReader(f)])
+    np.testing.assert_allclose(preds["two"], preds["one"], atol=1e-5)
+
+
 def test_predict_cli_fast_path_matches_parity_path(tmp_path):
     from crosstalk_tpu.cli.predict import main as predict_main
 
