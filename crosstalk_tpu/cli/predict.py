@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--url", type=str, default=None,
                         help="Base URL of a running crosstalk server "
                              "(remote inference; exactly one of -p/--url)")
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="AOT StableHLO artifact (.ctkx from "
+                             "tools/export_model.py) — local inference with "
+                             "no model code or torch checkpoint")
     parser.add_argument("--request_tiles", type=int, default=64,
                         help="Remote mode: tiles per HTTP request (must be "
                              "within the server's --max_tiles)")
@@ -150,6 +154,52 @@ def _predict_local(args, tiles):
     return preds
 
 
+def _predict_artifact(args, tiles):
+    """(n,) f32 predictions from an AOT .ctkx artifact, or None on error.
+
+    Needs only jax — no model code, no torch. Artifacts are lowered
+    single-device; a pinned-batch artifact dictates its own chunk size.
+    """
+    import numpy as np
+
+    from crosstalk_tpu.io.export import load_exported
+
+    print("--- Loading AOT artifact ---")
+    try:
+        fn, meta = load_exported(args.artifact)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"Error loading artifact {args.artifact}: {e}")
+        return None
+    if args.num_devices is not None and args.num_devices != 1:
+        print("Error: --num_devices > 1 requires a checkpoint (-p); AOT "
+              "artifacts are lowered single-device.")
+        return None
+
+    n, h, w, _ = tiles.shape
+    art_size = meta.get("image_size")
+    if art_size is not None and int(art_size) != h:
+        print(f"Error: artifact was exported for {art_size}px tiles, "
+              f"the dataset is {h}px.")
+        return None
+    meta_bs = meta.get("batch_size", "dynamic")
+    eff_batch = (min(args.batch_size, n) if meta_bs == "dynamic"
+                 else int(meta_bs))
+    print(f"Artifact: batch "
+          f"{'dynamic' if meta_bs == 'dynamic' else meta_bs}, "
+          f"{meta.get('path', '?')} path")
+
+    print("\n--- Predicting ---")
+    preds = np.empty((n,), dtype=np.float32)
+    for start in range(0, n, eff_batch):
+        chunk = np.asarray(tiles[start:start + eff_batch], np.float32)
+        real = chunk.shape[0]
+        if real < eff_batch and meta_bs != "dynamic":
+            pad = np.zeros((eff_batch - real, h, w, 2), dtype=np.float32)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        preds[start:start + real] = np.asarray(fn(chunk))[:real]
+    return preds
+
+
 def _predict_remote(args, tiles):
     """(n,) f32 predictions from a running server, or None on error."""
     import numpy as np
@@ -191,9 +241,12 @@ def main(argv=None) -> int:
     from crosstalk_tpu.data.pipeline import load_tiles
     from crosstalk_tpu.io import artifacts
 
-    if (args.model_path is None) == (args.url is None):
-        print("Error: exactly one of -p/--model_path (local inference) or "
-              "--url (remote inference) is required.")
+    n_sources = sum(x is not None
+                    for x in (args.model_path, args.url, args.artifact))
+    if n_sources != 1:
+        print("Error: exactly one of -p/--model_path (local checkpoint), "
+              "--artifact (local AOT artifact), or --url (remote server) "
+              "is required.")
         return 1
     if args.url is not None and args.request_tiles <= 0:
         print(f"Error: --request_tiles must be positive, "
@@ -229,6 +282,8 @@ def main(argv=None) -> int:
 
     if args.url is not None:
         preds = _predict_remote(args, tiles)
+    elif args.artifact is not None:
+        preds = _predict_artifact(args, tiles)
     else:
         preds = _predict_local(args, tiles)
     if preds is None:

@@ -32,8 +32,8 @@ def _write_pair(mixed_dir, source_dir, mixed_name, source_name, size=16, seed=0)
 def _dirs(tmp_path):
     mixed = tmp_path / "Mixed"
     source = tmp_path / "Source"
-    mixed.mkdir()
-    source.mkdir()
+    mixed.mkdir(parents=True)
+    source.mkdir(parents=True)
     return str(mixed), str(source)
 
 
@@ -285,6 +285,58 @@ def test_predict_cli_unmix_matches_csv_alphas(tmp_path):
         got = read_tile(
             os.path.join(run_dir, "unmixed", f"{r['Image_Key']}_unmixed.tif"))
         np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_predict_cli_artifact_mode(tmp_path):
+    """--artifact scores tiles from an AOT .ctkx (no model code/torch on
+    the inference path), padding the tail chunk of a pinned-batch artifact;
+    an image-size mismatch is a clear error."""
+    import jax
+
+    from crosstalk_tpu.cli.predict import main as predict_main
+    from crosstalk_tpu.config import ModelConfig
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.io.export import export_serving_model, save_exported
+    from crosstalk_tpu.models import build_model, init_model
+
+    mixed, source = _dirs(tmp_path)
+    n, size = 6, 32
+    rng = np.random.default_rng(23)
+    tiles = rng.random((n, size, size, 2)).astype(np.float32)
+    for i in range(n):
+        write_tile(os.path.join(mixed, f"a{i}_mixed.tif"), tiles[i, :, :, 0])
+        write_tile(os.path.join(source, f"a{i}_source.tif"), tiles[i, :, :, 1])
+
+    cfg = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=3,
+                      compute_dtype="f32")
+    model = build_model(cfg)
+    variables = init_model(model, jax.random.key(4), image_size=size, batch=2)
+    blob, weights = export_serving_model(variables, cfg, batch_size=4,
+                                         image_size=size, fast=False,
+                                         platforms=["cpu"])
+    art = str(tmp_path / "m.ctkx")
+    save_exported(art, blob, weights,
+                  {"model": "single", "batch_size": 4, "image_size": size,
+                   "path": "f32-parity"})
+
+    out_base = str(tmp_path / "out")
+    rc = predict_main(["-m", mixed, "-s", source, "--artifact", art,
+                       "--output_base", out_base])
+    assert rc == 0
+    csv_path = glob.glob(
+        os.path.join(out_base, "predict_run_*", "predictions_*.csv"))[0]
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    got = np.array([float(r["Predicted_Alpha"]) for r in rows])
+    golden = np.asarray(
+        model.apply(variables, normalize_batch_nhwc(tiles), train=False)
+    )[:, 0]
+    np.testing.assert_allclose(got, golden, atol=1e-4)
+
+    # image-size mismatch -> clear error, not a shape traceback
+    m2, s2 = _dirs(tmp_path / "small")
+    _write_pair(m2, s2, "x_mixed.tif", "x_source.tif", size=16)
+    assert predict_main(["-m", m2, "-s", s2, "--artifact", art]) == 1
 
 
 def test_predict_cli_multi_device_matches_single(tmp_path):
