@@ -42,6 +42,8 @@ _PUBLIC_API = {
     # data
     "PairIndex": "crosstalk_tpu.data",
     "Sample": "crosstalk_tpu.data",
+    "UnlabeledIndex": "crosstalk_tpu.data",
+    "pair_unlabeled": "crosstalk_tpu.data",
     "split_samples": "crosstalk_tpu.data",
     "read_tile": "crosstalk_tpu.data",
     "TileStore": "crosstalk_tpu.data",
