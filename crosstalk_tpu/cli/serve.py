@@ -63,8 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "its own program at startup. Requires -p")
     parser.add_argument("--max_delay_ms", type=float, default=5.0,
                         help="Max time a queued tile waits for a full batch")
-    parser.add_argument("--image_size", type=int, default=256,
-                        help="Tile height/width the checkpoint was trained at")
+    parser.add_argument("--image_size", type=int, default=None,
+                        help="Tile height/width (default: auto-detected "
+                             "from the checkpoint / artifact metadata; "
+                             "256 when neither records it)")
     parser.add_argument("--parity", action="store_true",
                         help="Serve the f32 checkpoint-parity forward instead "
                              "of the bf16 serving path (slower, ~1e-8 MAE "
@@ -168,7 +170,7 @@ def main(argv=None) -> int:
         # dynamic-batch artifacts serve at the --batch_size flag; a pinned
         # artifact dictates its own shape
         batch_size = args.batch_size if meta_bs == "dynamic" else int(meta_bs)
-        image_size = int(meta.get("image_size", args.image_size))
+        image_size = int(meta.get("image_size", args.image_size or 256))
         predict = fn
         import numpy as np
 
@@ -222,7 +224,24 @@ def main(argv=None) -> int:
             mesh = data_mesh(n_dev)
 
         batch_size = args.batch_size
-        image_size = args.image_size
+        from crosstalk_tpu.io.torch_convert import infer_image_size
+
+        try:
+            detected_px = infer_image_size(variables, args.model_options)
+        except (KeyError, ValueError) as e:
+            print(f"Error: {e}")
+            return 1
+        if args.image_size is None:
+            image_size = detected_px
+            if detected_px != 256:
+                print(f"Detected tile size from the checkpoint: "
+                      f"{detected_px}px")
+        elif args.image_size != detected_px:
+            print(f"Error: --image_size {args.image_size} does not match "
+                  f"the checkpoint (trained at {detected_px}px).")
+            return 1
+        else:
+            image_size = args.image_size
         serve_sizes = (buckets or []) + [batch_size]
         if mesh is not None:
             bad = [b for b in serve_sizes if b % n_dev != 0]
@@ -272,6 +291,13 @@ def main(argv=None) -> int:
                     f"checkpoint size mismatch: serving {old_size}, "
                     f"reload candidate is {new_size} — restart the server "
                     "to change model size"
+                )
+            new_px = infer_image_size(new_vars, args.model_options)
+            if new_px != image_size:
+                raise ValueError(
+                    f"tile-size mismatch: serving {image_size}px, reload "
+                    f"candidate was trained at {new_px}px — restart the "
+                    "server to change tile size"
                 )
             new_predict = make_predictor(
                 new_vars, model_cfg, serve_sizes,

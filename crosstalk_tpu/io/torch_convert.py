@@ -196,6 +196,45 @@ def infer_model_size(variables: dict, variant: str) -> dict:
     raise ValueError(f"unknown variant {variant!r}")
 
 
+def infer_image_size(variables: dict, variant: str) -> int:
+    """Tile size a checkpoint was trained at, from its parameter tree.
+
+    The first dense layer's input dim is ``(size / 2**pools)**2 *
+    final_channels`` (the torch models size it with a dummy forward —
+    reference regression_model.py:52-56, two_branch_regression.py:68-80 —
+    so the size is baked into the weights). Lets the export/serve CLIs
+    self-configure instead of assuming 256px."""
+    params = variables["params"]
+    dense_in = int(np.shape(params["DenseBNBlock_0"]["Dense_0"]["kernel"])[0])
+    if variant == "single":
+        pools = _count_flax_blocks(params)
+        final_ch = int(
+            np.shape(params[f"ConvBlock_{pools - 1}"]["Conv_0"]["kernel"])[-1]
+        )
+    elif variant == "double":
+        pools = 4  # fixed trunk depth per branch
+        final_ch = 2 * int(
+            np.shape(
+                params["bleed_branch"]["ConvBlock_3"]["Conv_0"]["kernel"]
+            )[-1]
+        )
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+    if dense_in % final_ch:
+        raise ValueError(
+            f"checkpoint head input dim {dense_in} is not a multiple of the "
+            f"final conv width {final_ch} — corrupt or mismatched checkpoint"
+        )
+    spatial_sq = dense_in // final_ch
+    spatial = int(round(spatial_sq ** 0.5))
+    if spatial * spatial != spatial_sq:
+        raise ValueError(
+            f"checkpoint head input dim {dense_in} implies a non-square "
+            f"{spatial_sq}-pixel feature map — corrupt or mismatched checkpoint"
+        )
+    return spatial * (2 ** pools)
+
+
 def model_config_for_checkpoint(
     variant: str,
     variables: dict,

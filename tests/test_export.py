@@ -262,6 +262,57 @@ def test_export_cli_roundtrip(tmp_path):
     np.testing.assert_allclose(fn(raw), golden, rtol=1e-4, atol=1e-4)
 
 
+def test_infer_image_size_both_variants():
+    """Tile size recovered from the parameter tree (the head dims bake it
+    in — reference regression_model.py:52-56, two_branch_regression.py:68-80)."""
+    from crosstalk_tpu.io.torch_convert import infer_image_size
+    from crosstalk_tpu.models import build_model, init_model
+
+    for variant, kw, sizes in (
+        ("single", dict(initial_filters=8, num_conv_blocks=3), (32, 64)),
+        ("double", dict(initial_filters=8), (32, 64)),
+    ):
+        for size in sizes:
+            cfg = ModelConfig(variant=variant, compute_dtype="f32", **kw)
+            v = init_model(build_model(cfg), jax.random.key(0),
+                           image_size=size, batch=2)
+            assert infer_image_size(v, variant) == size, (variant, size)
+
+
+def test_export_cli_autodetects_image_size(tmp_path, capsys):
+    """A 64px checkpoint exports correctly with NO --image_size flag
+    (round-3 bug: the tool assumed 256px and the lowering crashed with a
+    dot_general shape error); an explicit wrong flag is a clear error."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_ref import TorchSingle, burn_in_batch_stats
+    from tools.export_model import main as export_main
+
+    torch.manual_seed(9)
+    tmodel = TorchSingle(initial_filters=8, num_blocks=3, image_size=64)
+    burn_in_batch_stats(tmodel, 64, steps=2)
+    ckpt = str(tmp_path / "model.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    out = str(tmp_path / "model.ctkx")
+    rc = export_main(["-p", ckpt, "--out", out, "--batch_size", "2",
+                      "--platforms", "cpu", "--parity"])
+    assert rc == 0
+    assert "Detected tile size from the checkpoint: 64px" in \
+        capsys.readouterr().out
+
+    from crosstalk_tpu.io.export import load_exported
+
+    fn, meta = load_exported(out)
+    assert meta["image_size"] == 64
+    raw = np.random.default_rng(0).random((2, 64, 64, 2), np.float32)
+    assert np.asarray(fn(raw)).shape == (2,)
+
+    rc = export_main(["-p", ckpt, "--out", out, "--batch_size", "2",
+                      "--image_size", "256", "--platforms", "cpu"])
+    assert rc == 1
+    assert "trained at 64px" in capsys.readouterr().out
+
+
 def test_export_cli_rejects_nonpositive_batch(tmp_path, capsys):
     from tools.export_model import main as export_main
 

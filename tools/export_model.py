@@ -39,7 +39,9 @@ def main(argv=None) -> int:
     ap.add_argument("--batch_size", type=int, default=None,
                     help="Pin one static batch shape (default: dynamic — "
                          "the artifact accepts any batch size)")
-    ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--image_size", type=int, default=None,
+                    help="Tile height/width (default: auto-detected from "
+                         "the checkpoint's head dimensions)")
     ap.add_argument("--platforms", nargs="+", default=["tpu", "cpu"],
                     help="Target platforms to lower for")
     ap.add_argument("--parity", action="store_true",
@@ -76,6 +78,21 @@ def main(argv=None) -> int:
     if cfg != ModelConfig(variant=args.model_options,
                           compute_dtype="f32" if args.parity else "bf16"):
         print(f"Detected non-default model size from the checkpoint: {cfg}")
+    from crosstalk_tpu.io.torch_convert import infer_image_size
+
+    try:
+        detected_px = infer_image_size(variables, args.model_options)
+    except (KeyError, ValueError) as e:
+        print(f"Error: {e}")
+        return 1
+    if args.image_size is None:
+        args.image_size = detected_px
+        if detected_px != 256:
+            print(f"Detected tile size from the checkpoint: {detected_px}px")
+    elif args.image_size != detected_px:
+        print(f"Error: --image_size {args.image_size} does not match the "
+              f"checkpoint (trained at {detected_px}px).")
+        return 1
     print(f"Lowering for {args.platforms} "
           f"(batch {'dynamic' if args.batch_size is None else args.batch_size}, "
           f"{args.image_size}px, "
