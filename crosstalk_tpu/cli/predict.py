@@ -18,12 +18,20 @@ pairs too) and writes per-pair predicted alphas:
 
 Output: ``predict_run_{ts}/`` with ``params.txt`` and
 ``predictions_{ts}.csv`` (``Image_Key,Mixed_File,Source_File,
-Predicted_Alpha``). Local inference is the same device path as the eval
-CLI: jitted batched forward, f32 checkpoint-parity by default, ``--fast``
-for the folded-BN bf16 serving path, data-parallel over ``--num_devices``.
-Remote mode ships tiles over the serving wire (float16 payloads by
-default — PERF_NOTES "Online serving stack"). For LABELED directories
-scored against a server, see cli/remote_eval.py.
+Predicted_Alpha,Num_Tiles,Alpha_Std``). Local inference is the same device
+path as the eval CLI: jitted batched forward, f32 checkpoint-parity by
+default, ``--fast`` for the folded-BN bf16 serving path, data-parallel
+over ``--num_devices``. Remote mode ships tiles over the serving wire
+(float16 payloads by default — PERF_NOTES "Online serving stack"). For
+LABELED directories scored against a server, see cli/remote_eval.py.
+
+**Whole-image mode**: acquisitions LARGER than the model's native tile
+size (auto-detected from the checkpoint / artifact metadata / server
+health) are gridded into native-size crops, each crop is scored, and the
+per-tile alphas are aggregated per image (``--aggregate median|mean``,
+spread reported as ``Alpha_Std``) — alpha is a property of the channel
+pair, so every tile of one acquisition sees the same mixing coefficient.
+``--unmix`` then corrects the FULL image with the aggregated alpha.
 """
 
 from __future__ import annotations
@@ -86,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "(default: all visible devices)")
     parser.add_argument("--output_base", type=str, default=".",
                         help="Where to create the predict_run_* directory")
+    parser.add_argument("--aggregate", type=str, default="median",
+                        choices=["median", "mean"],
+                        help="Whole-image mode: how per-tile alphas combine "
+                             "into the image's alpha")
     parser.add_argument("--unmix", action="store_true",
                         help="Also write crosstalk-CORRECTED mixed tiles "
                              "(mixed - alpha*source, clipped at 0, float32 "
@@ -93,11 +105,13 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def _predict_local(args, tiles):
-    """(n,) f32 predictions from a local checkpoint, or None on error."""
+def _prepare_local(args):
+    """-> (native_px or None, score_fn((m,px,px,2)) -> (m,) or None),
+    or None on error. Local checkpoint inference."""
     import numpy as np
 
     from crosstalk_tpu.io.torch_convert import (
+        infer_image_size,
         load_pth,
         model_config_for_checkpoint,
     )
@@ -125,41 +139,41 @@ def _predict_local(args, tiles):
             num_conv_blocks=args.num_conv_blocks,
             compute_dtype=args.compute_dtype,
         )
+        px = infer_image_size(variables, args.model_options)
     except (FileNotFoundError, KeyError, ValueError) as e:
         print(f"Error loading model from {args.model_path}: {e}")
         return None
 
-    n, h, w, _ = tiles.shape
-    # One compiled shape, no larger than needed; padded rows are masked out.
-    eff_batch = min(args.batch_size, n)
-    eff_batch += (-eff_batch) % n_dev  # mesh sharding needs divisibility
-    on_tpu = device.platform in ("tpu", "axon")
-    mesh = data_mesh(n_dev) if n_dev > 1 else None
-    predict = make_predictor(
-        variables, model_cfg, batch_size=eff_batch, image_size=h,
-        fast=args.fast, mesh=mesh,
-        use_pallas=(args.fast and on_tpu and n_dev == 1),
-        warmup=False,
-    )
+    def score(tiles):
+        m, h, w, _ = tiles.shape
+        # One compiled shape, no larger than needed; padded rows sliced off.
+        eff_batch = min(args.batch_size, m)
+        eff_batch += (-eff_batch) % n_dev  # mesh sharding divisibility
+        on_tpu = device.platform in ("tpu", "axon")
+        mesh = data_mesh(n_dev) if n_dev > 1 else None
+        predict = make_predictor(
+            variables, model_cfg, batch_size=eff_batch, image_size=h,
+            fast=args.fast, mesh=mesh,
+            use_pallas=(args.fast and on_tpu and n_dev == 1),
+            warmup=False,
+        )
+        preds = np.empty((m,), dtype=np.float32)
+        for start in range(0, m, eff_batch):
+            chunk = tiles[start:start + eff_batch]
+            real = chunk.shape[0]
+            if real < eff_batch:
+                pad = np.zeros((eff_batch - real, h, w, 2), dtype=np.float32)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            preds[start:start + real] = predict(chunk)[:real]
+        return preds
 
-    print("\n--- Predicting ---")
-    preds = np.empty((n,), dtype=np.float32)
-    for start in range(0, n, eff_batch):
-        chunk = tiles[start:start + eff_batch]
-        real = chunk.shape[0]
-        if real < eff_batch:
-            pad = np.zeros((eff_batch - real, h, w, 2), dtype=np.float32)
-            chunk = np.concatenate([chunk, pad], axis=0)
-        preds[start:start + real] = predict(chunk)[:real]
-    return preds
+    return px, score
 
 
-def _predict_artifact(args, tiles):
-    """(n,) f32 predictions from an AOT .ctkx artifact, or None on error.
-
-    Needs only jax — no model code, no torch. Artifacts are lowered
-    single-device; a pinned-batch artifact dictates its own chunk size.
-    """
+def _prepare_artifact(args):
+    """-> (native_px or None, score_fn) or None on error. AOT .ctkx
+    inference: needs only jax — no model code, no torch. Artifacts are
+    lowered single-device; a pinned-batch artifact dictates its chunk size."""
     import numpy as np
 
     from crosstalk_tpu.io.export import load_exported
@@ -174,34 +188,33 @@ def _predict_artifact(args, tiles):
         print("Error: --num_devices > 1 requires a checkpoint (-p); AOT "
               "artifacts are lowered single-device.")
         return None
-
-    n, h, w, _ = tiles.shape
-    art_size = meta.get("image_size")
-    if art_size is not None and int(art_size) != h:
-        print(f"Error: artifact was exported for {art_size}px tiles, "
-              f"the dataset is {h}px.")
-        return None
+    px = meta.get("image_size")
+    px = int(px) if px is not None else None
     meta_bs = meta.get("batch_size", "dynamic")
-    eff_batch = (min(args.batch_size, n) if meta_bs == "dynamic"
-                 else int(meta_bs))
     print(f"Artifact: batch "
           f"{'dynamic' if meta_bs == 'dynamic' else meta_bs}, "
           f"{meta.get('path', '?')} path")
 
-    print("\n--- Predicting ---")
-    preds = np.empty((n,), dtype=np.float32)
-    for start in range(0, n, eff_batch):
-        chunk = np.asarray(tiles[start:start + eff_batch], np.float32)
-        real = chunk.shape[0]
-        if real < eff_batch and meta_bs != "dynamic":
-            pad = np.zeros((eff_batch - real, h, w, 2), dtype=np.float32)
-            chunk = np.concatenate([chunk, pad], axis=0)
-        preds[start:start + real] = np.asarray(fn(chunk))[:real]
-    return preds
+    def score(tiles):
+        m, h, w, _ = tiles.shape
+        eff_batch = (min(args.batch_size, m) if meta_bs == "dynamic"
+                     else int(meta_bs))
+        preds = np.empty((m,), dtype=np.float32)
+        for start in range(0, m, eff_batch):
+            chunk = np.asarray(tiles[start:start + eff_batch], np.float32)
+            real = chunk.shape[0]
+            if real < eff_batch and meta_bs != "dynamic":
+                pad = np.zeros((eff_batch - real, h, w, 2), dtype=np.float32)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            preds[start:start + real] = np.asarray(fn(chunk))[:real]
+        return preds
+
+    return px, score
 
 
-def _predict_remote(args, tiles):
-    """(n,) f32 predictions from a running server, or None on error."""
+def _prepare_remote(args):
+    """-> (native_px or None, score_fn) or None on error. Inference by a
+    running crosstalk server over the serving wire."""
     import numpy as np
 
     from crosstalk_tpu.serve.client import CrosstalkClient
@@ -213,23 +226,46 @@ def _predict_remote(args, tiles):
         print(f"Error: server at {args.url} is not reachable: {e}")
         return None
     print(f"Server: {health}")
+    px = health.get("image_size")
+    px = int(px) if px is not None else None
 
-    print("\n--- Predicting (remote) ---")
-    n = tiles.shape[0]
-    preds = np.empty((n,), dtype=np.float32)
-    for start in range(0, n, args.request_tiles):
-        stop = min(start + args.request_tiles, n)
-        try:
-            preds[start:stop] = client.predict(
-                np.asarray(tiles[start:stop], np.float32), dtype=args.dtype
-            )
-        except Exception as e:
-            print(f"Error: prediction request failed at rows "
-                  f"{start}:{stop}: {e}")
-            return None
-        print(f"  {stop}/{n} tiles scored", end="\r", flush=True)
-    print()
-    return preds
+    def score(tiles):
+        m = tiles.shape[0]
+        preds = np.empty((m,), dtype=np.float32)
+        for start in range(0, m, args.request_tiles):
+            stop = min(start + args.request_tiles, m)
+            try:
+                preds[start:stop] = client.predict(
+                    np.asarray(tiles[start:stop], np.float32),
+                    dtype=args.dtype,
+                )
+            except Exception as e:
+                print(f"Error: prediction request failed at rows "
+                      f"{start}:{stop}: {e}")
+                return None
+            print(f"  {stop}/{m} tiles scored", end="\r", flush=True)
+        print()
+        return preds
+
+    return px, score
+
+
+def _grid_images(images, px):
+    """(n, H, W, 2) -> (n*k, px, px, 2) non-overlapping px-grid crops,
+    top-left anchored; returns (crops, tiles_per_image). Margins beyond the
+    last full tile are discarded (each crop is min-max normalized
+    independently by the forward, matching training semantics)."""
+    import numpy as np
+
+    n, h, w, c = images.shape
+    gh, gw = h // px, w // px
+    trimmed = images[:, : gh * px, : gw * px, :]
+    crops = np.ascontiguousarray(
+        trimmed.reshape(n, gh, px, gw, px, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n * gh * gw, px, px, c)
+    )
+    return crops, gh * gw
 
 
 def main(argv=None) -> int:
@@ -271,36 +307,69 @@ def main(argv=None) -> int:
 
     print("\n--- Decoding tiles ---")
     try:
-        tiles = load_tiles(samples, jobs=args.cpu_jobs)
+        images = load_tiles(samples, jobs=args.cpu_jobs)
     except (ValueError, OSError) as e:
         print(f"Error decoding tiles: {e}")
         return 1
-    n, h, w, _ = tiles.shape
-    if h != w:
-        print(f"Error: tiles must be square, got {h}x{w}.")
-        return 1
+    n, h, w, _ = images.shape
 
     if args.url is not None:
-        preds = _predict_remote(args, tiles)
+        prep = _prepare_remote(args)
     elif args.artifact is not None:
-        preds = _predict_artifact(args, tiles)
+        prep = _prepare_artifact(args)
     else:
-        preds = _predict_local(args, tiles)
-    if preds is None:
+        prep = _prepare_local(args)
+    if prep is None:
         return 1
+    px, score = prep
+    if px is None:  # size not recorded anywhere: inputs must BE the tiles
+        if h != w:
+            print(f"Error: tiles must be square, got {h}x{w} (the model's "
+                  "tile size is not recorded, so images cannot be gridded).")
+            return 1
+        px = h
+
+    if (h, w) == (px, px):
+        tile_batch, k = images, 1
+    else:
+        # Whole-image mode: alpha is a property of the channel pair, so a
+        # large acquisition is scored as a grid of native-size tiles and
+        # aggregated per image.
+        if h < px or w < px:
+            print(f"Error: images are {h}x{w} but the model scores {px}px "
+                  f"tiles — images must be at least {px}px in each dim.")
+            return 1
+        tile_batch, k = _grid_images(images, px)
+        dropped = (h % px, w % px)
+        margin = (f"; {dropped[0]}x{dropped[1]}px margins discarded"
+                  if any(dropped) else "")
+        print(f"\nGridding {h}x{w} images into {k} {px}px tiles each, "
+              f"aggregating per image by {args.aggregate}{margin}")
+
+    print("\n--- Predicting ---")
+    tile_preds = score(tile_batch)
+    if tile_preds is None:
+        return 1
+    per_image = tile_preds.reshape(n, k)
+    agg = (np.median if args.aggregate == "median" else np.mean)
+    preds = agg(per_image, axis=1).astype(np.float32)
+    stds = per_image.std(axis=1).astype(np.float32)
 
     ts = artifacts.timestamp()
     output_dir = artifacts.make_predict_run_dir(args.output_base, ts)
     artifacts.write_params_txt(output_dir, vars(args))
-    fieldnames = ["Image_Key", "Mixed_File", "Source_File", "Predicted_Alpha"]
+    fieldnames = ["Image_Key", "Mixed_File", "Source_File",
+                  "Predicted_Alpha", "Num_Tiles", "Alpha_Std"]
     rows = [
         {
             "Image_Key": s.image_id,
             "Mixed_File": os.path.basename(s.mixed_path),
             "Source_File": os.path.basename(s.source_path),
             "Predicted_Alpha": f"{float(p):.6f}",
+            "Num_Tiles": k,
+            "Alpha_Std": f"{float(sd):.6f}",
         }
-        for s, p in zip(samples, preds)
+        for s, p, sd in zip(samples, preds, stds)
     ]
     csv_path = artifacts.write_predictions_csv(
         os.path.join(output_dir, f"predictions_{ts}.csv"), rows, fieldnames
@@ -320,7 +389,7 @@ def main(argv=None) -> int:
         os.makedirs(unmix_dir, exist_ok=True)
         for i, s in enumerate(samples):
             corrected = np.clip(
-                tiles[i, :, :, 0] - float(preds[i]) * tiles[i, :, :, 1],
+                images[i, :, :, 0] - float(preds[i]) * images[i, :, :, 1],
                 0.0, None,
             ).astype(np.float32)
             write_tile(

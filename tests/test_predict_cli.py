@@ -121,8 +121,11 @@ def test_predict_cli_end_to_end(tmp_path):
     with open(csvs[0]) as f:
         rows = list(csv.DictReader(f))
     assert list(rows[0].keys()) == [
-        "Image_Key", "Mixed_File", "Source_File", "Predicted_Alpha"
+        "Image_Key", "Mixed_File", "Source_File", "Predicted_Alpha",
+        "Num_Tiles", "Alpha_Std"
     ]
+    assert all(r["Num_Tiles"] == "1" and float(r["Alpha_Std"]) == 0.0
+               for r in rows)
     assert [r["Image_Key"] for r in rows] == [f"acq{i}" for i in range(n)]
     assert rows[0]["Mixed_File"] == "acq0_mixed.tif"
     assert rows[0]["Source_File"] == "acq0_source.tif"
@@ -285,6 +288,63 @@ def test_predict_cli_unmix_matches_csv_alphas(tmp_path):
         got = read_tile(
             os.path.join(run_dir, "unmixed", f"{r['Image_Key']}_unmixed.tif"))
         np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_predict_cli_whole_image_gridding(tmp_path):
+    """Images larger than the model's native tile size are gridded into
+    native-size crops and aggregated per image: a 64x96 image against a
+    32px checkpoint scores as the median of its 6 quadrant predictions."""
+    from crosstalk_tpu.cli.predict import main as predict_main
+
+    mixed, source = _dirs(tmp_path)
+    n, px = 2, 32
+    H, W = 64, 96  # 2x3 grid of native tiles
+    rng = np.random.default_rng(31)
+    imgs = rng.random((n, H, W, 2)).astype(np.float32)
+    for i in range(n):
+        write_tile(os.path.join(mixed, f"big{i}_mixed.tif"), imgs[i, :, :, 0])
+        write_tile(os.path.join(source, f"big{i}_source.tif"),
+                   imgs[i, :, :, 1])
+
+    torch.manual_seed(14)
+    tmodel = TorchSingle(initial_filters=8, num_blocks=3, image_size=px)
+    burn_in_batch_stats(tmodel, px, steps=2)
+    ckpt = str(tmp_path / "model.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    out_base = str(tmp_path / "out")
+    rc = predict_main(["-m", mixed, "-s", source, "-p", ckpt,
+                       "--output_base", out_base])
+    assert rc == 0
+    csv_path = glob.glob(
+        os.path.join(out_base, "predict_run_*", "predictions_*.csv"))[0]
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["Num_Tiles"] for r in rows] == ["6", "6"]
+
+    # golden: per-quadrant torch predictions, median per image
+    for i, r in enumerate(rows):
+        crops = []
+        for gy in range(2):
+            for gx in range(3):
+                crops.append(imgs[i, gy * px:(gy + 1) * px,
+                                  gx * px:(gx + 1) * px, :])
+        crops = np.stack(crops)
+        lo = crops.min(axis=(1, 2), keepdims=True)
+        hi = crops.max(axis=(1, 2), keepdims=True)
+        x = (crops - lo) / (hi - lo)
+        with torch.no_grad():
+            tile_alphas = tmodel(
+                torch.from_numpy(x.transpose(0, 3, 1, 2))
+            ).numpy().ravel()
+        assert abs(float(r["Predicted_Alpha"])
+                   - np.median(tile_alphas)) < 1e-4
+        assert abs(float(r["Alpha_Std"]) - tile_alphas.std()) < 1e-3
+
+    # too-small images are a clear error
+    m2, s2 = _dirs(tmp_path / "small")
+    _write_pair(m2, s2, "t_mixed.tif", "t_source.tif", size=16)
+    assert predict_main(["-m", m2, "-s", s2, "-p", ckpt]) == 1
 
 
 def test_predict_cli_artifact_mode(tmp_path):
