@@ -40,8 +40,6 @@ import argparse
 import os
 import sys
 
-import jax
-
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
@@ -106,11 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _prepare_local(args):
-    """-> (native_px or None, score_fn((m,px,px,2)) -> (m,) or None),
-    or None on error. Local checkpoint inference."""
+    """-> (native_px or None, compat(px)->bool, score_fn((m,px,px,2)) ->
+    (m,) or None), or None on error. Local checkpoint inference."""
+    import jax  # deferred: the remote (--url) mode needs no jax on the client
     import numpy as np
 
     from crosstalk_tpu.io.torch_convert import (
+        image_size_compatible,
         infer_image_size,
         load_pth,
         model_config_for_checkpoint,
@@ -167,7 +167,12 @@ def _prepare_local(args):
             preds[start:start + real] = predict(chunk)[:real]
         return preds
 
-    return px, score
+    # Pooling floors odd dims, so sizes that are not multiples of 2**pools
+    # share the detected head shape; accept any of them as native.
+    def compat(size):
+        return image_size_compatible(variables, args.model_options, size)
+
+    return px, compat, score
 
 
 def _prepare_artifact(args):
@@ -209,7 +214,7 @@ def _prepare_artifact(args):
             preds[start:start + real] = np.asarray(fn(chunk))[:real]
         return preds
 
-    return px, score
+    return px, (lambda size: px is None or size == px), score
 
 
 def _prepare_remote(args):
@@ -247,7 +252,7 @@ def _prepare_remote(args):
         print()
         return preds
 
-    return px, score
+    return px, (lambda size: px is None or size == px), score
 
 
 def _grid_images(images, px):
@@ -288,6 +293,9 @@ def main(argv=None) -> int:
         print(f"Error: --request_tiles must be positive, "
               f"got {args.request_tiles}")
         return 1
+    if args.batch_size <= 0:
+        print(f"Error: --batch_size must be positive, got {args.batch_size}")
+        return 1
 
     try:
         index = pair_unlabeled(args.mixed_channel_data_dir,
@@ -321,7 +329,7 @@ def main(argv=None) -> int:
         prep = _prepare_local(args)
     if prep is None:
         return 1
-    px, score = prep
+    px, compat, score = prep
     if px is None:  # size not recorded anywhere: inputs must BE the tiles
         if h != w:
             print(f"Error: tiles must be square, got {h}x{w} (the model's "
@@ -329,7 +337,7 @@ def main(argv=None) -> int:
             return 1
         px = h
 
-    if (h, w) == (px, px):
+    if h == w and compat(h):
         tile_batch, k = images, 1
     else:
         # Whole-image mode: alpha is a property of the channel pair, so a

@@ -170,7 +170,14 @@ def main(argv=None) -> int:
         # dynamic-batch artifacts serve at the --batch_size flag; a pinned
         # artifact dictates its own shape
         batch_size = args.batch_size if meta_bs == "dynamic" else int(meta_bs)
-        image_size = int(meta.get("image_size", args.image_size or 256))
+        meta_px = meta.get("image_size")
+        if (meta_px is not None and args.image_size is not None
+                and int(meta_px) != args.image_size):
+            print(f"Error: --image_size {args.image_size} does not match "
+                  f"the artifact (exported for {int(meta_px)}px tiles).")
+            return 1
+        image_size = int(meta_px if meta_px is not None
+                         else (args.image_size or 256))
         predict = fn
         import numpy as np
 
@@ -224,7 +231,11 @@ def main(argv=None) -> int:
             mesh = data_mesh(n_dev)
 
         batch_size = args.batch_size
-        from crosstalk_tpu.io.torch_convert import infer_image_size
+        from crosstalk_tpu.io.torch_convert import (
+            _compatible_px_range,
+            image_size_compatible,
+            infer_image_size,
+        )
 
         try:
             detected_px = infer_image_size(variables, args.model_options)
@@ -236,9 +247,12 @@ def main(argv=None) -> int:
             if detected_px != 256:
                 print(f"Detected tile size from the checkpoint: "
                       f"{detected_px}px")
-        elif args.image_size != detected_px:
+        elif not image_size_compatible(variables, args.model_options,
+                                       args.image_size):
+            lo, hi = _compatible_px_range(variables, args.model_options)
             print(f"Error: --image_size {args.image_size} does not match "
-                  f"the checkpoint (trained at {detected_px}px).")
+                  f"the checkpoint's head (compatible tile sizes: "
+                  f"{lo}-{hi}px).")
             return 1
         else:
             image_size = args.image_size
@@ -292,8 +306,9 @@ def main(argv=None) -> int:
                     f"reload candidate is {new_size} — restart the server "
                     "to change model size"
                 )
-            new_px = infer_image_size(new_vars, args.model_options)
-            if new_px != image_size:
+            if not image_size_compatible(new_vars, args.model_options,
+                                         image_size):
+                new_px = infer_image_size(new_vars, args.model_options)
                 raise ValueError(
                     f"tile-size mismatch: serving {image_size}px, reload "
                     f"candidate was trained at {new_px}px — restart the "

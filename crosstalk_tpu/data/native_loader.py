@@ -56,6 +56,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64,
+            ctypes.c_int64,
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64),
         ]
@@ -63,6 +64,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.crosstalk_load_tile.argtypes = [
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
             ctypes.c_int64,
         ]
         _lib = lib
@@ -91,9 +93,9 @@ def load_pairs_native(
     n = len(mixed_paths)
     if out.dtype != np.float32 or not out.flags["C_CONTIGUOUS"]:
         return False
-    if out.shape[0] != n or out.shape[-1] != 2:
+    if out.shape[0] != n or out.ndim != 4 or out.shape[-1] != 2:
         return False
-    pixels = int(np.prod(out.shape[1:-1]))
+    height, width = int(out.shape[1]), int(out.shape[2])
 
     interleaved = []
     for m, s in zip(mixed_paths, source_paths):
@@ -105,7 +107,8 @@ def load_pairs_native(
         arr,
         n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        pixels,
+        height,
+        width,
         threads,
         ctypes.byref(failed),
     )

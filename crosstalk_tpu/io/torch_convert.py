@@ -196,14 +196,11 @@ def infer_model_size(variables: dict, variant: str) -> dict:
     raise ValueError(f"unknown variant {variant!r}")
 
 
-def infer_image_size(variables: dict, variant: str) -> int:
-    """Tile size a checkpoint was trained at, from its parameter tree.
-
-    The first dense layer's input dim is ``(size / 2**pools)**2 *
-    final_channels`` (the torch models size it with a dummy forward —
-    reference regression_model.py:52-56, two_branch_regression.py:68-80 —
-    so the size is baked into the weights). Lets the export/serve CLIs
-    self-configure instead of assuming 256px."""
+def checkpoint_tile_geometry(variables: dict, variant: str):
+    """-> (head_spatial, pools): the post-trunk feature-map side length and
+    pooling count baked into a checkpoint's head dimensions (the torch
+    models size their first FC with a dummy forward — reference
+    regression_model.py:52-56, two_branch_regression.py:68-80)."""
     params = variables["params"]
     dense_in = int(np.shape(params["DenseBNBlock_0"]["Dense_0"]["kernel"])[0])
     if variant == "single":
@@ -232,7 +229,38 @@ def infer_image_size(variables: dict, variant: str) -> int:
             f"checkpoint head input dim {dense_in} implies a non-square "
             f"{spatial_sq}-pixel feature map — corrupt or mismatched checkpoint"
         )
+    return spatial, pools
+
+
+def image_size_compatible(variables: dict, variant: str, px: int) -> bool:
+    """Whether ``px``-sized tiles feed this checkpoint's head exactly.
+
+    Each max-pool floors odd dims (kernel 2 stride 2), so every px in
+    ``[spatial*2**pools, (spatial+1)*2**pools - 1]`` pools down to the same
+    head spatial — tile sizes that are not multiples of ``2**pools`` are
+    valid but not uniquely recoverable from the weights."""
+    spatial, pools = checkpoint_tile_geometry(variables, variant)
+    x = px
+    for _ in range(pools):
+        x //= 2
+    return x == spatial
+
+
+def infer_image_size(variables: dict, variant: str) -> int:
+    """Tile size a checkpoint was trained at, from its parameter tree.
+
+    Exact whenever the size is a multiple of ``2**pools`` (all standard
+    configs; the reference trains at 256). Otherwise this is the SMALLEST
+    compatible size — pooling floors odd dims, so a whole range of sizes
+    shares one head shape (see ``image_size_compatible``); CLIs accept an
+    explicit ``--image_size`` for those."""
+    spatial, pools = checkpoint_tile_geometry(variables, variant)
     return spatial * (2 ** pools)
+
+
+def _compatible_px_range(variables: dict, variant: str):
+    spatial, pools = checkpoint_tile_geometry(variables, variant)
+    return spatial * 2 ** pools, (spatial + 1) * 2 ** pools - 1
 
 
 def model_config_for_checkpoint(

@@ -115,11 +115,13 @@ bool convert(const uint8_t* src, uint32_t n, uint16_t fmt, uint16_t bits,
   return false;
 }
 
-// Decode one baseline TIFF into dst (expected_pixels floats, strided by
-// `stride` between consecutive pixels, so channels can interleave).
+// Decode one baseline TIFF into dst (expected_h*expected_w floats, strided
+// by `stride` between consecutive pixels, so channels can interleave).
+// Both dims are checked — a transposed tile (e.g. 512x128 where 256x256 is
+// expected) has the right pixel COUNT but would load spatially scrambled.
 // Returns 0 on success, negative error codes otherwise.
 int decode_tiff(const char* path, float* dst, int64_t stride,
-                uint32_t expected_pixels) {
+                uint32_t expected_h, uint32_t expected_w) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   std::fseek(f, 0, SEEK_END);
@@ -188,7 +190,7 @@ int decode_tiff(const char* path, float* dst, int64_t stride,
   }
 
   if (compression != 1 || spp != 1) return -6;  // exotic -> Python fallback
-  if (static_cast<uint64_t>(width) * height != expected_pixels) return -7;
+  if (width != expected_w || height != expected_h) return -7;
   size_t elem = bits / 8;
   if (elem == 0) return -6;
   if (strip_counts.empty())
@@ -230,12 +232,14 @@ int decode_tiff(const char* path, float* dst, int64_t stride,
 
 extern "C" {
 
-// Decode `n` (mixed, source) tile pairs into out (n, pixels, 2) float32.
-// paths: 2n C strings, [mixed_0, source_0, mixed_1, source_1, ...].
+// Decode `n` (mixed, source) tile pairs into out (n, height, width, 2)
+// float32. paths: 2n C strings, [mixed_0, source_0, mixed_1, source_1, ...].
 // Returns 0 if every decode succeeded; otherwise the first nonzero error
 // code, with `first_failure` set to the failing path index.
 int crosstalk_load_pairs(const char** paths, int64_t n, float* out,
-                         int64_t pixels, int threads, int64_t* first_failure) {
+                         int64_t height, int64_t width, int threads,
+                         int64_t* first_failure) {
+  const int64_t pixels = height * width;
   std::atomic<int64_t> next(0);
   std::atomic<int> status(0);
   std::atomic<int64_t> failed(-1);
@@ -245,7 +249,8 @@ int crosstalk_load_pairs(const char** paths, int64_t n, float* out,
       int64_t i = next.fetch_add(1);
       if (i >= 2 * n || status.load() != 0) return;
       float* dst = out + (i / 2) * pixels * 2 + (i % 2);
-      int rc = decode_tiff(paths[i], dst, 2, static_cast<uint32_t>(pixels));
+      int rc = decode_tiff(paths[i], dst, 2, static_cast<uint32_t>(height),
+                           static_cast<uint32_t>(width));
       if (rc != 0) {
         int expected = 0;
         if (status.compare_exchange_strong(expected, rc)) failed.store(i);
@@ -263,8 +268,10 @@ int crosstalk_load_pairs(const char** paths, int64_t n, float* out,
 }
 
 // Single-file decode into a dense float32 buffer (stride 1).
-int crosstalk_load_tile(const char* path, float* out, int64_t pixels) {
-  return decode_tiff(path, out, 1, static_cast<uint32_t>(pixels));
+int crosstalk_load_tile(const char* path, float* out, int64_t height,
+                        int64_t width) {
+  return decode_tiff(path, out, 1, static_cast<uint32_t>(height),
+                     static_cast<uint32_t>(width));
 }
 
 }  // extern "C"

@@ -310,7 +310,19 @@ def test_export_cli_autodetects_image_size(tmp_path, capsys):
     rc = export_main(["-p", ckpt, "--out", out, "--batch_size", "2",
                       "--image_size", "256", "--platforms", "cpu"])
     assert rc == 1
-    assert "trained at 64px" in capsys.readouterr().out
+    assert "compatible tile sizes: 64-71px" in capsys.readouterr().out
+
+    # pooling floors odd dims: 70px shares the 64px head shape, so an
+    # explicit --image_size 70 must be accepted (it is not auto-detectable)
+    out70 = str(tmp_path / "model70.ctkx")
+    rc = export_main(["-p", ckpt, "--out", out70, "--batch_size", "2",
+                      "--image_size", "70", "--platforms", "cpu",
+                      "--parity"])
+    assert rc == 0
+    fn70, meta70 = load_exported(out70)
+    assert meta70["image_size"] == 70
+    raw = np.random.default_rng(1).random((2, 70, 70, 2), np.float32)
+    assert np.isfinite(np.asarray(fn70(raw))).all()
 
 
 def test_export_cli_rejects_nonpositive_batch(tmp_path, capsys):

@@ -38,6 +38,43 @@ def test_native_matches_python_reference(reference_data_dirs):
     np.testing.assert_array_equal(python_out, native_out)
 
 
+def test_native_rejects_transposed_tile_same_pixel_count(tmp_path):
+    """A tile with the right pixel COUNT but wrong dims (8x32 where 16x16 is
+    expected) must be refused — loading it row-major would silently scramble
+    the image spatially. Both dims are checked, not width*height."""
+    from crosstalk_tpu.data.tiff import write_tile
+
+    good = str(tmp_path / "good.tif")
+    bad = str(tmp_path / "bad.tif")
+    write_tile(good, np.arange(256, dtype=np.float64).reshape(16, 16) / 256)
+    write_tile(bad, np.arange(256, dtype=np.float64).reshape(8, 32) / 256)
+    out = np.empty((1, 16, 16, 2), dtype=np.float32)
+    assert not load_pairs_native([bad], [good], out, threads=1)
+    assert load_pairs_native([good], [good], out, threads=1)
+
+
+def test_load_tiles_transposed_tile_clear_error(tmp_path):
+    """Through the full load_tiles default path (native attempt -> Python
+    fallback), a same-pixel-count transposed tile ends in the clear
+    inconsistent-size ValueError, never scrambled data."""
+    from crosstalk_tpu.data.index import Sample
+    from crosstalk_tpu.data.tiff import write_tile
+
+    from crosstalk_tpu.data.pipeline import load_tiles
+
+    a_m = str(tmp_path / "a_mixed.tif")
+    a_s = str(tmp_path / "a_source.tif")
+    b_m = str(tmp_path / "b_mixed.tif")
+    b_s = str(tmp_path / "b_source.tif")
+    write_tile(a_m, np.zeros((16, 16)) + 0.25)
+    write_tile(a_s, np.zeros((16, 16)) + 0.5)
+    write_tile(b_m, np.zeros((8, 32)) + 0.75)  # 256 pixels, wrong shape
+    write_tile(b_s, np.zeros((16, 16)) + 0.5)
+    samples = [Sample("a", 0.1, a_m, a_s), Sample("b", 0.2, b_m, b_s)]
+    with pytest.raises(ValueError, match="inconsistent tile size.*b_mixed"):
+        load_tiles(samples, jobs=1)
+
+
 def test_native_bad_path_falls_back_cleanly(synthetic_data_dirs):
     mixed_dir, source_dir = synthetic_data_dirs
     index = PairIndex(mixed_dir, source_dir)

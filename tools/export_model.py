@@ -78,7 +78,11 @@ def main(argv=None) -> int:
     if cfg != ModelConfig(variant=args.model_options,
                           compute_dtype="f32" if args.parity else "bf16"):
         print(f"Detected non-default model size from the checkpoint: {cfg}")
-    from crosstalk_tpu.io.torch_convert import infer_image_size
+    from crosstalk_tpu.io.torch_convert import (
+        _compatible_px_range,
+        image_size_compatible,
+        infer_image_size,
+    )
 
     try:
         detected_px = infer_image_size(variables, args.model_options)
@@ -89,9 +93,11 @@ def main(argv=None) -> int:
         args.image_size = detected_px
         if detected_px != 256:
             print(f"Detected tile size from the checkpoint: {detected_px}px")
-    elif args.image_size != detected_px:
+    elif not image_size_compatible(variables, args.model_options,
+                                   args.image_size):
+        lo, hi = _compatible_px_range(variables, args.model_options)
         print(f"Error: --image_size {args.image_size} does not match the "
-              f"checkpoint (trained at {detected_px}px).")
+              f"checkpoint's head (compatible tile sizes: {lo}-{hi}px).")
         return 1
     print(f"Lowering for {args.platforms} "
           f"(batch {'dynamic' if args.batch_size is None else args.batch_size}, "
