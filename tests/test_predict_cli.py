@@ -290,6 +290,51 @@ def test_predict_cli_unmix_matches_csv_alphas(tmp_path):
         np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+def test_predict_cli_double_branch(tmp_path):
+    """The two-branch model predicts through the same CLI (size and
+    variant auto-detection included) and matches its torch twin."""
+    from crosstalk_tpu.cli.predict import main as predict_main
+    from crosstalk_tpu.data.tiff import read_tile
+    from tests.torch_ref import TorchDouble
+
+    mixed, source = _dirs(tmp_path)
+    n, size = 3, 64
+    rng = np.random.default_rng(41)
+    for i in range(n):
+        write_tile(os.path.join(mixed, f"w{i}_mixed.tif"),
+                   rng.random((size, size)))
+        write_tile(os.path.join(source, f"w{i}_source.tif"),
+                   rng.random((size, size)))
+    torch.manual_seed(15)
+    tmodel = TorchDouble(filters_per_branch=4, image_size=size)
+    burn_in_batch_stats(tmodel, size, steps=2)
+    ckpt = str(tmp_path / "model.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    out_base = str(tmp_path / "out")
+    rc = predict_main(["-m", mixed, "-s", source, "-p", ckpt, "-o", "double",
+                       "--output_base", out_base])
+    assert rc == 0
+    csv_path = glob.glob(
+        os.path.join(out_base, "predict_run_*", "predictions_*.csv"))[0]
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["Num_Tiles"] for r in rows] == ["1"] * n
+
+    tiles = np.empty((n, size, size, 2), dtype=np.float32)
+    for i in range(n):
+        tiles[i, :, :, 0] = read_tile(os.path.join(mixed, f"w{i}_mixed.tif"))
+        tiles[i, :, :, 1] = read_tile(os.path.join(source, f"w{i}_source.tif"))
+    lo = tiles.min(axis=(1, 2), keepdims=True)
+    hi = tiles.max(axis=(1, 2), keepdims=True)
+    with torch.no_grad():
+        golden = tmodel(torch.from_numpy(
+            ((tiles - lo) / (hi - lo)).transpose(0, 3, 1, 2)
+        )).numpy().ravel()
+    got = np.array([float(r["Predicted_Alpha"]) for r in rows])
+    np.testing.assert_allclose(got, golden, atol=1e-4)
+
+
 def test_predict_cli_whole_image_gridding(tmp_path):
     """Images larger than the model's native tile size are gridded into
     native-size crops and aggregated per image: a 64x96 image against a
