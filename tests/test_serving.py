@@ -705,6 +705,21 @@ def test_serve_cli_flag_validation(tmp_path, capsys):
     assert "must be in 1..batch_size" in capsys.readouterr().out
 
 
+def test_serve_cli_rejects_wrong_image_size(tmp_path, capsys):
+    """An --image_size incompatible with the checkpoint's head dims is a
+    clear startup error, not a compile-time shape traceback."""
+    torch = pytest.importorskip("torch")
+    from crosstalk_tpu.cli.serve import main as serve_main
+    from tests.torch_ref import TorchSingle
+
+    torch.manual_seed(1)
+    tmodel = TorchSingle(initial_filters=8, num_blocks=3, image_size=32)
+    ckpt = str(tmp_path / "m.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+    assert serve_main(["-p", ckpt, "--image_size", "64"]) == 1
+    assert "compatible tile sizes: 32-39px" in capsys.readouterr().out
+
+
 def test_serve_cli_subprocess(tmp_path):
     """Full CLI drive: load a real torch .pth (full-width single model at
     64px), serve it with the float16 transport, query it over HTTP, compare
