@@ -11,6 +11,8 @@ from crosstalk_tpu.io.export import (
 )
 from crosstalk_tpu.io.torch_convert import (
     flax_to_torch,
+    image_size_compatible,
+    infer_image_size,
     infer_model_size,
     load_pth,
     model_config_for_checkpoint,
@@ -26,6 +28,8 @@ __all__ = [
     "flax_to_torch",
     "load_pth",
     "save_pth",
+    "image_size_compatible",
+    "infer_image_size",
     "infer_model_size",
     "model_config_for_checkpoint",
     "export_serving_model",
