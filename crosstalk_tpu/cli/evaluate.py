@@ -100,6 +100,9 @@ def main(argv=None) -> int:
     from crosstalk_tpu.models import build_model, torch_style_repr
     from crosstalk_tpu.utils.profiling import enable_debug_checks, maybe_trace
 
+    if args.batch_size <= 0:
+        print(f"Error: --batch_size must be positive, got {args.batch_size}")
+        return 1
     if args.debug_nans:
         enable_debug_checks()
 

@@ -111,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    if not 0 <= args.port <= 65535:
+        print(f"Error: --port must be in 0-65535, got {args.port}")
+        return 1
+
     import jax
 
     from crosstalk_tpu.serve.server import CrosstalkServer

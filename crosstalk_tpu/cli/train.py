@@ -114,6 +114,16 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # Guard the flags that would otherwise surface as ZeroDivisionError /
+    # scheduler tracebacks deep in the run (found by adversarial probing).
+    for name, value in (("--batch_size", args.batch_size),
+                        ("--num_epochs", args.num_epochs),
+                        ("--learning_rate", args.learning_rate),
+                        ("--checkpoint_every", args.checkpoint_every)):
+        if value <= 0:
+            print(f"Error: {name} must be positive, got {value}")
+            return 1
+
     from crosstalk_tpu.config import ModelConfig, OptimConfig, TrainConfig
     from crosstalk_tpu.data.index import PairIndex, split_samples
     from crosstalk_tpu.data.pipeline import TileStore

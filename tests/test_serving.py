@@ -703,6 +703,9 @@ def test_serve_cli_flag_validation(tmp_path, capsys):
     assert serve_main(["-p", "a.pth", "--batch_size", "8",
                        "--batch_buckets", "16"]) == 1
     assert "must be in 1..batch_size" in capsys.readouterr().out
+    # out-of-range port: clear error, not socket OverflowError
+    assert serve_main(["-p", "a.pth", "--port", "99999"]) == 1
+    assert "--port must be in 0-65535" in capsys.readouterr().out
 
 
 def test_serve_cli_rejects_wrong_image_size(tmp_path, capsys):

@@ -748,6 +748,30 @@ def test_train_cli_double_cosine_warmup_e2e(tmp_path):
     assert (out >= 0).all() and (out <= 0.5).all()  # sigmoid * 0.5 head
 
 
+def test_train_cli_rejects_nonpositive_numeric_flags(capsys):
+    """-b 0 / -n 0 / -l <= 0 / --checkpoint_every 0 are clear startup
+    errors, not ZeroDivisionError tracebacks deep in the run (found by
+    adversarial CLI probing)."""
+    from crosstalk_tpu.cli.train import main as train_main
+
+    for flags, name in (
+        (["-b", "0"], "--batch_size"),
+        (["-n", "0"], "--num_epochs"),
+        (["-l", "-0.1"], "--learning_rate"),
+        (["--checkpoint_every", "0"], "--checkpoint_every"),
+    ):
+        assert train_main(["-m", "M", "-s", "S"] + flags) == 1
+        assert f"{name} must be positive" in capsys.readouterr().out
+
+
+def test_eval_cli_rejects_nonpositive_batch(capsys):
+    from crosstalk_tpu.cli.evaluate import main as eval_main
+
+    assert eval_main(["-m", "M", "-s", "S", "-p", "x.pth",
+                      "--batch_size", "0"]) == 1
+    assert "--batch_size must be positive" in capsys.readouterr().out
+
+
 def test_train_cli_quickstart_bootstraps_sample_dataset(tmp_path, monkeypatch):
     """A fresh clone's zero-flag `python train_model.py` must work: when both
     data flags are at their defaults and ./Training_Data is absent, the CLI
