@@ -141,7 +141,7 @@ def main(argv=None) -> int:
     print("\n--- Loading model weights ---")
     try:
         variables = load_pth(args.model_path, args.model_options)
-    except (FileNotFoundError, KeyError) as e:
+    except (FileNotFoundError, KeyError, ValueError) as e:
         print(f"Error loading model from {args.model_path}: {e}")
         return 1
     # Size the model from the checkpoint itself (flags, when given, are

@@ -199,7 +199,7 @@ def main(argv=None) -> int:
         print("--- Loading model weights ---")
         try:
             variables = load_pth(args.model_path, args.model_options)
-        except (FileNotFoundError, KeyError) as e:
+        except (FileNotFoundError, KeyError, ValueError) as e:
             print(f"Error loading model from {args.model_path}: {e}")
             return 1
 

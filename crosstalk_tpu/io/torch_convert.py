@@ -357,10 +357,21 @@ def flax_to_torch(variables: dict, variant: str) -> Dict[str, np.ndarray]:
 
 
 def load_pth(path: str, variant: str) -> dict:
-    """Read a reference .pth checkpoint into flax variables."""
+    """Read a reference .pth checkpoint into flax variables.
+
+    Raises FileNotFoundError for a missing path and ValueError for a file
+    that is not a torch checkpoint (corrupt/truncated/wrong format) — so
+    CLIs can catch one clear exception type instead of torch's pickle/zip
+    internals leaking as tracebacks."""
     import torch
 
-    state_dict = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        state_dict = torch.load(path, map_location="cpu", weights_only=True)
+    except FileNotFoundError:
+        raise
+    except Exception as e:  # UnpicklingError, BadZipFile, RuntimeError, ...
+        raise ValueError(f"{path} is not a readable torch checkpoint: "
+                         f"{type(e).__name__}: {e}") from e
     return torch_to_flax(state_dict, variant)
 
 

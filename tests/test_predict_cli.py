@@ -149,6 +149,36 @@ def test_predict_cli_end_to_end(tmp_path):
     np.testing.assert_allclose(got, golden, atol=1e-4)
 
 
+def test_corrupt_checkpoint_clear_error_everywhere(tmp_path, capsys):
+    """A file that is not a torch checkpoint maps to a clear CLI error in
+    every consumer (load_pth wraps torch's pickle/zip internals in
+    ValueError), never a raw traceback."""
+    from crosstalk_tpu.cli.evaluate import main as eval_main
+    from crosstalk_tpu.cli.predict import main as predict_main
+    from crosstalk_tpu.cli.serve import main as serve_main
+    from tools.export_model import main as export_main
+
+    mixed, source = _dirs(tmp_path)
+    # labeled schema so the eval CLI's dataset scan succeeds too
+    _write_pair(mixed, source,
+                "image_1_alpha_0.2_mixed.tif", "image_1_alpha_0.2_source.tif")
+    bad = str(tmp_path / "garbage.pth")
+    with open(bad, "wb") as f:
+        f.write(b"\x89not-a-checkpoint" * 64)
+    out = str(tmp_path / "out")
+
+    for main_fn, argv in (
+        (predict_main, ["-m", mixed, "-s", source, "-p", bad,
+                        "--output_base", out]),
+        (eval_main, ["-m", mixed, "-s", source, "-p", bad,
+                     "--output_base", out]),
+        (serve_main, ["-p", bad]),
+        (export_main, ["-p", bad]),
+    ):
+        assert main_fn(argv) == 1
+        assert "Error loading model" in capsys.readouterr().out
+
+
 def test_predict_cli_requires_exactly_one_inference_source(tmp_path):
     from crosstalk_tpu.cli.predict import main as predict_main
 

@@ -60,7 +60,11 @@ def main(argv=None) -> int:
         print("Error: --num_conv_blocks applies to the single-branch model "
               "only.")
         return 1
-    variables = load_pth(args.model_path, args.model_options)
+    try:
+        variables = load_pth(args.model_path, args.model_options)
+    except (FileNotFoundError, KeyError, ValueError) as e:
+        print(f"Error loading model from {args.model_path}: {e}")
+        return 1
     # Size the model from the checkpoint itself (flags, when given, are
     # validated against it)
     from crosstalk_tpu.io.torch_convert import model_config_for_checkpoint
