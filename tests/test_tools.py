@@ -52,6 +52,47 @@ def test_make_pretrained_artifact(tmp_path):
     assert any(k.startswith("conv_layers.0.") for k in sd)
 
 
+def test_unmix_demo_figure(tmp_path):
+    """tools/unmix_demo.py end-to-end (tiny model, CPU): trains nothing —
+    loads a 1-epoch checkpoint, scores generated demo pairs through the
+    predict CLI's --unmix path, and writes the before/after montage. The
+    visual receipt in results/unmix_demo.png must stay reproducible."""
+    import glob
+    import json
+
+    from tests.conftest import make_synthetic_dataset
+    from tools.make_pretrained import main as make_pretrained
+    from tools.unmix_demo import main as unmix_demo
+
+    mixed, source = make_synthetic_dataset(str(tmp_path), n=12, size=64, seed=3)
+    out = str(tmp_path / "PreTrained_Model")
+    rc = make_pretrained([
+        "-m", mixed, "-s", source, "-o", "single", "-b", "8", "-l", "5e-4",
+        "-n", "1", "-j", "2", "--out", out,
+        "--initial_filters", "8", "--num_conv_blocks", "3",
+    ])
+    assert rc == 0
+    (pth,) = glob.glob(os.path.join(out, "*.pth"))
+
+    png = str(tmp_path / "demo.png")
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = unmix_demo([
+            "-p", pth, "-o", png, "--pairs", "2", "--size", "64",
+            "--initial_filters", "8", "--num_conv_blocks", "3",
+        ])
+    assert rc == 0
+    assert os.path.getsize(png) > 10_000
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["pairs"] == 2
+    # an untrained-ish model won't unmix well; the contract is the keys
+    assert set(summary) == {"pairs", "mean_abs_alpha_err",
+                            "mean_bleed_removed_pct", "png"}
+
+
 @pytest.mark.skipif(
     not os.environ.get("CROSSTALK_RUN_SLOW"),
     reason="minutes of CPU conv compute; set CROSSTALK_RUN_SLOW=1 to run",
