@@ -256,3 +256,136 @@ def test_reference_eval_cli_cross_parity(tmp_path, reference_data_dirs):
             )
     assert float(np.mean(pred_diffs)) < 1e-4, pred_diffs
     assert float(np.max(pred_diffs)) < 5e-4, pred_diffs
+
+
+TORCHVISION_SHIM = '''\
+"""Minimal torchvision.transforms.functional stand-in (torchvision is not
+installed in this image). The reference train CLI's only live calls are
+hflip/vflip (train_model.py:228-234), whose torchvision tensor
+implementations are exactly torch.flip on the last / second-to-last dim."""
+import torch
+
+
+def hflip(img):
+    return torch.flip(img, dims=[-1])
+
+
+def vflip(img):
+    return torch.flip(img, dims=[-2])
+'''
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CROSSTALK_RUN_SLOW"),
+    reason="~3 min of torch CPU training; set CROSSTALK_RUN_SLOW=1 to run",
+)
+def test_reference_train_cli_artifacts_interop(tmp_path, reference_data_dirs):
+    """Run the reference's ACTUAL train_model.py to completion (2 epochs on
+    24 bundled pairs; torchvision shimmed to its two live calls) and prove
+    its training artifacts interop end-to-end with this framework:
+
+    * the final ``crosstalk_regression_model_trained_*.pth`` loads through
+      our converter (strict schema fidelity on reference-TRAINED weights,
+      not synthetic ones),
+    * our seed-43 split replication reconstructs the reference's test
+      split exactly (the CSV's Actual_Label column matches sample-for-
+      sample in loader order), and
+    * our eval-mode forward reproduces the reference's own
+      test_predictions CSV to the cross-framework f32 budget.
+
+    Matches the reference's train->save->reload->evaluate flow at
+    /root/reference/train_model.py:640-677.
+    """
+    from crosstalk_tpu.data.index import PairIndex, split_samples
+    from crosstalk_tpu.data.pipeline import load_tiles
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.io.torch_convert import (
+        load_pth,
+        model_config_for_checkpoint,
+    )
+
+    mixed_src, source_src = reference_data_dirs
+
+    # 24 real pairs: split = 16 train / 3 val / 5 test; at batch 4 the
+    # reference's drop_last keeps 4 train batches and 1 test batch (its
+    # val pass sees 0 batches and reports val_loss 0.0 — harmless for 2
+    # epochs of the plateau scheduler).
+    mixed_dir = tmp_path / "Mixed"
+    source_dir = tmp_path / "Source"
+    mixed_dir.mkdir()
+    source_dir.mkdir()
+    n_pairs = 24
+    for name in sorted(os.listdir(mixed_src))[:n_pairs]:
+        stem = name.replace("_mixed.tif", "")
+        os.symlink(os.path.join(mixed_src, name), mixed_dir / name)
+        os.symlink(
+            os.path.join(source_src, f"{stem}_source.tif"),
+            source_dir / f"{stem}_source.tif",
+        )
+
+    shim = tmp_path / "shim" / "torchvision"
+    (shim / "transforms").mkdir(parents=True)
+    (shim / "__init__.py").write_text("")
+    (shim / "transforms" / "__init__.py").write_text(
+        "from . import functional  # noqa: F401\n"
+    )
+    (shim / "transforms" / "functional.py").write_text(TORCHVISION_SHIM)
+
+    ref_cwd = tmp_path / "ref_run"
+    ref_cwd.mkdir()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{tmp_path / 'shim'}:{REFERENCE}"
+    env["MPLBACKEND"] = "Agg"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REFERENCE, "train_model.py"),
+         "-m", str(mixed_dir), "-s", str(source_dir),
+         "-b", "4", "-n", "2", "-o", "single", "-r", "aggressive_plateau",
+         "-j", "0"],
+        capture_output=True, text=True, timeout=1800, env=env, cwd=str(ref_cwd),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+
+    (run_dir,) = glob.glob(str(ref_cwd / "training_run_*"))
+    for artifact in ("params.txt", "model_architecture.txt",
+                     "best_model_plateau.pth"):
+        assert os.path.exists(os.path.join(run_dir, artifact)), artifact
+    (log_csv,) = glob.glob(os.path.join(run_dir, "training_log_*.csv"))
+    with open(log_csv) as f:
+        rows = list(csv.reader(f))
+    assert rows[-1][0] == "2"  # both epochs logged
+    (final_pth,) = glob.glob(
+        os.path.join(run_dir, "crosstalk_regression_model_trained_*.pth")
+    )
+    (ref_csv,) = glob.glob(os.path.join(run_dir, "test_predictions_*.csv"))
+    with open(ref_csv) as f:
+        ref_rows = list(csv.DictReader(f))
+    assert len(ref_rows) == 4  # 5 test samples, drop_last at batch 4
+
+    # reference-trained weights through our converter + forward
+    variables = load_pth(final_pth, "single")
+    cfg = model_config_for_checkpoint("single", variables)
+    model = build_model(cfg)
+
+    index = PairIndex(str(mixed_dir), str(source_dir))
+    _, _, test_samples = split_samples(index.samples, 0.7, 0.15)
+    assert len(test_samples) == 5
+    batch = test_samples[:4]  # the reference's one drop_last test batch
+    for sample, row in zip(batch, ref_rows):
+        assert abs(sample.scalar_label - float(row["Actual_Label"])) < 1e-6
+
+    raw = load_tiles(batch, jobs=1)
+    norm = np.asarray(normalize_batch_nhwc(jnp.asarray(raw, jnp.float32)))
+    apply = jax.jit(lambda v, a: model.apply(v, a, train=False))
+    preds = np.asarray(apply(variables, jnp.asarray(norm))).reshape(-1)
+    diffs = [abs(float(p) - float(r["Predicted_Label"]))
+             for p, r in zip(preds, ref_rows)]
+    # Tolerance note: a 2-epoch model is deliberately ill-conditioned
+    # (fresh BN running stats, unsettled head), which amplifies the
+    # cross-framework f32 conv noise to ~1e-4-1e-3 in alpha units here
+    # (vs <1e-4 for the converged/controlled-weights parity tests, and
+    # agreement to every printed digit for fully-trained checkpoints —
+    # TRAINING_RESULTS.md "Head-to-head"). This test pins the artifact
+    # schema, split replication, and forward-path agreement, not the
+    # strict MAE budget (test_reference_eval_cli_cross_parity does that).
+    assert float(np.mean(diffs)) < 1.5e-3, diffs
+    assert float(np.max(diffs)) < 5e-3, diffs
