@@ -277,9 +277,12 @@ def vflip(img):
 
 @pytest.mark.skipif(
     not os.environ.get("CROSSTALK_RUN_SLOW"),
-    reason="~3 min of torch CPU training; set CROSSTALK_RUN_SLOW=1 to run",
+    reason="~3-8 min of torch CPU training; set CROSSTALK_RUN_SLOW=1 to run",
 )
-def test_reference_train_cli_artifacts_interop(tmp_path, reference_data_dirs):
+@pytest.mark.parametrize("variant", ["single", "double"])
+def test_reference_train_cli_artifacts_interop(
+    tmp_path, reference_data_dirs, variant
+):
     """Run the reference's ACTUAL train_model.py to completion (2 epochs on
     24 bundled pairs; torchvision shimmed to its two live calls) and prove
     its training artifacts interop end-to-end with this framework:
@@ -339,7 +342,7 @@ def test_reference_train_cli_artifacts_interop(tmp_path, reference_data_dirs):
     out = subprocess.run(
         [sys.executable, os.path.join(REFERENCE, "train_model.py"),
          "-m", str(mixed_dir), "-s", str(source_dir),
-         "-b", "4", "-n", "2", "-o", "single", "-r", "aggressive_plateau",
+         "-b", "4", "-n", "2", "-o", variant, "-r", "aggressive_plateau",
          "-j", "0"],
         capture_output=True, text=True, timeout=1800, env=env, cwd=str(ref_cwd),
     )
@@ -362,8 +365,8 @@ def test_reference_train_cli_artifacts_interop(tmp_path, reference_data_dirs):
     assert len(ref_rows) == 4  # 5 test samples, drop_last at batch 4
 
     # reference-trained weights through our converter + forward
-    variables = load_pth(final_pth, "single")
-    cfg = model_config_for_checkpoint("single", variables)
+    variables = load_pth(final_pth, variant)
+    cfg = model_config_for_checkpoint(variant, variables)
     model = build_model(cfg)
 
     index = PairIndex(str(mixed_dir), str(source_dir))
