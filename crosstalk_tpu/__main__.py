@@ -32,6 +32,8 @@ def _load(command: str):
         from crosstalk_tpu.cli.remote_eval import main
     elif command in ("analyse", "analyze"):
         from crosstalk_tpu.cli.analyse import main
+    elif command == "doctor":
+        from crosstalk_tpu.cli.doctor import main
     elif command == "export":
         try:
             from tools.export_model import main  # repo checkout
@@ -56,6 +58,8 @@ commands:
   remote-eval  reference eval workflow against a running server
   analyse      consolidate training_run_* sweeps (analyse_training_results.py)
   export       AOT StableHLO deployment artifact
+  doctor       verify this machine's deployment health (devices, decoder,
+               compile cache, forward smoke test, checkpoint/server probes)
 
 `python -m crosstalk_tpu <command> --help` shows each command's flags."""
 

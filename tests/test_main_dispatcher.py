@@ -26,6 +26,7 @@ def test_dispatcher_routes_to_real_clis(capsys):
         ("remote-eval", "--url"),
         ("analyse", "--base_directory"),
         ("export", "--out"),
+        ("doctor", "--image_size"),
     ):
         with pytest.raises(SystemExit) as exc:
             dispatch([command, "--help"])
@@ -55,3 +56,42 @@ def test_dispatcher_runs_predict_end_to_end(tmp_path):
     rc = dispatch(["predict", "-m", str(mixed), "-s", str(source),
                    "-p", ckpt, "--output_base", str(tmp_path / "out")])
     assert rc == 0
+
+
+def test_doctor_end_to_end(tmp_path, capsys):
+    torch = pytest.importorskip("torch")
+
+    from tests.torch_ref import TorchSingle, burn_in_batch_stats
+
+    torch.manual_seed(5)
+    tmodel = TorchSingle(initial_filters=8, num_blocks=3, image_size=32)
+    burn_in_batch_stats(tmodel, 32, steps=2)
+    ckpt = str(tmp_path / "m.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    rc = dispatch(["doctor", "--image_size", "16", "-p", ckpt])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "jitted forward" in out and "checkpoint" in out
+    assert "All checks passed" in out
+    # size detection is structure-derived: the 8x3 model must be reported
+    assert "initial_filters=8" in out and "num_conv_blocks=3" in out
+
+    # a corrupt checkpoint is a FAIL (clear report, nonzero exit)
+    bad = tmp_path / "bad.pth"
+    bad.write_bytes(b"not a checkpoint")
+    rc = dispatch(["doctor", "--image_size", "16", "-p", str(bad)])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL" in out and "check(s) FAILED" in out
+
+    # an unreachable server probe is a FAIL, not a traceback
+    rc = dispatch(["doctor", "--image_size", "16",
+                   "--url", "http://127.0.0.1:1", "--timeout", "0.2"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "serving endpoint" in out and "FAIL" in out
+
+    # flag validation
+    assert dispatch(["doctor", "--image_size", "0"]) == 1
+    assert "--image_size" in capsys.readouterr().out
