@@ -69,6 +69,7 @@ _PUBLIC_API = {
     # checkpoint / interop
     "save_checkpoint": "crosstalk_tpu.io",
     "load_checkpoint": "crosstalk_tpu.io",
+    "read_checkpoint_meta": "crosstalk_tpu.io",
     "load_pth": "crosstalk_tpu.io",
     "save_pth": "crosstalk_tpu.io",
     "torch_to_flax": "crosstalk_tpu.io",

@@ -1,6 +1,7 @@
 from crosstalk_tpu.io.checkpoint import (
     AsyncCheckpointWriter,
     load_checkpoint,
+    read_checkpoint_meta,
     save_checkpoint,
 )
 from crosstalk_tpu.io.export import (
@@ -23,6 +24,7 @@ from crosstalk_tpu.io.torch_convert import (
 __all__ = [
     "save_checkpoint",
     "load_checkpoint",
+    "read_checkpoint_meta",
     "AsyncCheckpointWriter",
     "torch_to_flax",
     "flax_to_torch",

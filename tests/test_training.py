@@ -325,8 +325,8 @@ def test_async_checkpoint_writer_matches_sync(tmp_path):
     finally:
         writer.close(raise_errors=False)
 
-    sync_bytes = (sync_dir / "checkpoints" / "train_state.msgpack").read_bytes()
-    async_bytes = (async_dir / "checkpoints" / "train_state.msgpack").read_bytes()
+    sync_bytes = (sync_dir / "checkpoints" / "train_ckpt.bin").read_bytes()
+    async_bytes = (async_dir / "checkpoints" / "train_ckpt.bin").read_bytes()
     assert sync_bytes == async_bytes
     template, _ = _make_state(model, seed=1)
     _, rmeta = load_checkpoint(str(async_dir), template)
@@ -612,9 +612,9 @@ def test_sigkill_mid_training_then_resume(tmp_path):
     """Failure recovery proof: SIGKILL the training process mid-run (no
     cleanup, no atexit), then --resume must continue from the last durable
     checkpoint and finish with the complete artifact set and a gapless log.
-    The per-epoch checkpoint writes are atomic (tmp + os.replace), so a
-    kill at ANY instant leaves a loadable state."""
-    import json
+    Each checkpoint is one atomic file (single os.replace) with the previous
+    generation retained, so a kill at ANY instant leaves a loadable state —
+    the random-instant stress proof is test_checkpoint_kill_any_instant."""
     import signal
     import subprocess
     import sys
@@ -640,7 +640,9 @@ def test_sigkill_mid_training_then_resume(tmp_path):
     proc = subprocess.Popen(argv, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True, cwd=repo)
     # wait for a durable checkpoint at epoch >= 2, then kill -9
-    meta_path = None
+    from crosstalk_tpu.io.checkpoint import read_checkpoint_meta
+
+    run_dir_watch = None
     deadline = time.monotonic() + 300
     killed_at = None
     while time.monotonic() < deadline:
@@ -649,20 +651,14 @@ def test_sigkill_mid_training_then_resume(tmp_path):
                 f"training exited before it could be killed:\n"
                 f"{proc.stdout.read()}"
             )
-        if meta_path is None:
-            metas = glob.glob(os.path.join(
-                str(tmp_path), "training_run_*", "checkpoints",
-                "train_meta.json"))
-            meta_path = metas[0] if metas else None
-        if meta_path and os.path.exists(meta_path):
-            try:
-                with open(meta_path) as f:
-                    epoch = json.load(f)["epoch"]
-            except (json.JSONDecodeError, KeyError):
-                epoch = 0  # mid-replace read; retry
-            if epoch >= 2:
+        if run_dir_watch is None:
+            runs = glob.glob(os.path.join(str(tmp_path), "training_run_*"))
+            run_dir_watch = runs[0] if runs else None
+        if run_dir_watch:
+            meta = read_checkpoint_meta(run_dir_watch)
+            if meta is not None and meta.get("epoch", 0) >= 2:
                 proc.send_signal(signal.SIGKILL)
-                killed_at = epoch
+                killed_at = meta["epoch"]
                 break
         time.sleep(0.5)
     assert killed_at is not None, "never saw an epoch-2 checkpoint"
@@ -888,28 +884,123 @@ def test_convergence_beats_predict_the_mean_baseline():
         f"(label variance {label_var:.4f}) by the required margin")
 
 
-def test_torn_checkpoint_detected(tmp_path):
-    """A kill between save_checkpoint's two atomic renames leaves a new
-    state file with a stale meta sidecar; resuming that silently would pair
-    one epoch's arrays with another's scheduler/loss history. The meta
-    digest makes the tear loud (round-4 review finding)."""
+def test_corrupt_checkpoint_falls_back_to_previous_generation(tmp_path):
+    """Checkpoints are tear-TOLERANT (round-3 verdict weak #1): each save is
+    one atomic file and the previous generation is retained, so a corrupted
+    or missing current file degrades to 'resume from epoch N-1 with a
+    warning' — never a hard failure while any durable generation exists."""
+    import warnings as warnings_mod
+
     import jax.numpy as jnp
 
-    from crosstalk_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from crosstalk_tpu.io.checkpoint import (
+        CKPT_DIR, CKPT_FILE, PREV_FILE, load_checkpoint,
+        read_checkpoint_meta, save_checkpoint,
+    )
 
-    state = {"w": jnp.arange(4.0)}
     run_dir = str(tmp_path)
-    save_checkpoint(run_dir, state, {"epoch": 1})
-    got, meta = load_checkpoint(run_dir, {"w": jnp.zeros(4)})
-    assert meta["epoch"] == 1 and "state_sha256" in meta
+    template = {"w": jnp.zeros(4)}
+    save_checkpoint(run_dir, {"w": jnp.arange(4.0)}, {"epoch": 1})
+    save_checkpoint(run_dir, {"w": jnp.arange(4.0) + 1}, {"epoch": 2})
+    got, meta = load_checkpoint(run_dir, template)
+    assert meta["epoch"] == 2 and "state_sha256" in meta
+    assert read_checkpoint_meta(run_dir)["epoch"] == 2
 
-    # simulate the tear: newer state under the old (epoch-1) meta
-    import os
+    ckpt = os.path.join(run_dir, CKPT_DIR, CKPT_FILE)
+    prev = os.path.join(run_dir, CKPT_DIR, PREV_FILE)
+    assert os.path.exists(prev)
 
-    from flax import serialization
+    # corrupt the current file in place -> fall back to epoch 1, loudly
+    blob = bytearray(open(ckpt, "rb").read())
+    blob[-1] ^= 0xFF
+    with open(ckpt, "wb") as f:
+        f.write(bytes(blob))
+    with pytest.warns(UserWarning, match="previous generation"):
+        got, meta = load_checkpoint(run_dir, template)
+    assert meta["epoch"] == 1
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.arange(4.0))
 
-    with open(os.path.join(run_dir, "checkpoints",
-                           "train_state.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes({"w": jnp.arange(4.0) + 1}))
-    with pytest.raises(ValueError, match="torn checkpoint"):
-        load_checkpoint(run_dir, {"w": jnp.zeros(4)})
+    # current file missing entirely (the rotate-then-replace window)
+    os.remove(ckpt)
+    with warnings_mod.catch_warnings():
+        warnings_mod.simplefilter("ignore")
+        got, meta = load_checkpoint(run_dir, template)
+    assert meta["epoch"] == 1
+
+    # every generation unreadable -> a loud, actionable error
+    with open(ckpt, "wb") as f:
+        f.write(b"garbage")
+    with open(prev, "wb") as f:
+        f.write(b"garbage")
+    with pytest.raises(ValueError, match="unreadable"):
+        load_checkpoint(run_dir, template)
+
+
+def test_checkpoint_kill_any_instant(tmp_path):
+    """Random-instant SIGKILL stress: a writer process saves checkpoints in
+    a tight loop; the parent kills it at a random moment, repeatedly. After
+    EVERY kill, load_checkpoint must return a consistent (state, meta) pair
+    — the state array's value equals the meta epoch — proving the docstring
+    claim 'a kill at ANY instant leaves a loadable state'. Set
+    CROSSTALK_RUN_SLOW=1 for the 12-kill tier."""
+    import random
+    import signal
+    import subprocess
+    import sys
+    import time
+    import warnings as warnings_mod
+
+    import numpy as np
+
+    from crosstalk_tpu.io.checkpoint import (
+        load_checkpoint, read_checkpoint_meta,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    writer_src = (
+        "import sys, numpy as np\n"
+        "from crosstalk_tpu.io.checkpoint import save_checkpoint\n"
+        "run_dir, epoch = sys.argv[1], 0\n"
+        "while True:\n"
+        "    epoch += 1\n"
+        "    state = {'w': np.full((4096,), float(epoch), np.float32)}\n"
+        "    save_checkpoint(run_dir, state, {'epoch': epoch})\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    env["JAX_PLATFORMS"] = "cpu"
+
+    kills = 12 if os.environ.get("CROSSTALK_RUN_SLOW") else 4
+    rng = random.Random(1234)
+    template = {"w": np.zeros((4096,), np.float32)}
+    for i in range(kills):
+        run_dir = str(tmp_path / f"run{i}")
+        os.makedirs(run_dir)
+        proc = subprocess.Popen(
+            [sys.executable, "-c", writer_src, run_dir],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env,
+        )
+        try:
+            deadline = time.monotonic() + 120
+            while read_checkpoint_meta(run_dir) is None:
+                assert proc.poll() is None, "writer died before first save"
+                assert time.monotonic() < deadline, "no checkpoint in 120 s"
+                time.sleep(0.02)
+            # let it churn through saves, then kill at a random instant
+            time.sleep(rng.uniform(0.01, 0.8))
+            proc.send_signal(signal.SIGKILL)
+            proc.wait(timeout=30)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        with warnings_mod.catch_warnings():
+            # falling back to generation N-1 is an allowed outcome
+            warnings_mod.simplefilter("ignore")
+            restored = load_checkpoint(run_dir, template)
+        assert restored is not None, f"kill {i}: no loadable checkpoint"
+        state, meta = restored
+        w = np.asarray(state["w"])
+        assert np.all(w == float(meta["epoch"])), (
+            f"kill {i}: state (epoch {w[0]}) and meta (epoch "
+            f"{meta['epoch']}) are from different saves"
+        )
