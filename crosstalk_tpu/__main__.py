@@ -37,7 +37,11 @@ def _load(command: str):
     elif command == "export":
         try:
             from tools.export_model import main  # repo checkout
-        except ImportError:
+        except ImportError as e:
+            if e.name not in ("tools", "tools.export_model"):
+                raise  # a real missing dependency inside the module, not
+                # "the tools/ tree is absent from this install"
+
             def main(argv=None):
                 print("Error: the export command needs the repo checkout "
                       "(tools/export_model.py is not part of the installed "

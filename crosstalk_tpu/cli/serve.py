@@ -114,6 +114,9 @@ def main(argv=None) -> int:
     if not 0 <= args.port <= 65535:
         print(f"Error: --port must be in 0-65535, got {args.port}")
         return 1
+    if args.image_size is not None and args.image_size <= 0:
+        print(f"Error: --image_size must be positive, got {args.image_size}")
+        return 1
 
     import jax
 
@@ -180,8 +183,12 @@ def main(argv=None) -> int:
             print(f"Error: --image_size {args.image_size} does not match "
                   f"the artifact (exported for {int(meta_px)}px tiles).")
             return 1
-        image_size = int(meta_px if meta_px is not None
-                         else (args.image_size or 256))
+        if meta_px is not None:
+            image_size = int(meta_px)
+        elif args.image_size is not None:  # validated positive above
+            image_size = args.image_size
+        else:
+            image_size = 256
         predict = fn
         import numpy as np
 

@@ -124,10 +124,13 @@ _ROLE_TOKENS = {
 
 
 def _unlabeled_key(filename: str, role: str) -> Optional[str]:
-    """Pairing key for an unlabeled tile: the stem, with a trailing
-    role token (``_mixed``/``-bleed``/``.source``/...) stripped so the two
-    directories' conventional namings line up. Identical filenames in both
-    dirs pair too (no token to strip). Non-TIFF files map to ``None``."""
+    """Pairing key for an unlabeled tile: the LOWERCASED stem, with a
+    trailing role token (``_mixed``/``-bleed``/``.source``/...) stripped so
+    the two directories' conventional namings line up. Keys are
+    case-insensitive ('Foo_mixed.tif' pairs with 'foo_source.tif'; two files
+    differing only in case collide loudly rather than silently not pairing).
+    Identical filenames in both dirs pair too (no token to strip). Non-TIFF
+    files map to ``None``."""
     stem, ext = os.path.splitext(filename)
     if ext.lower() not in _TIF_EXTS:
         return None
@@ -136,8 +139,8 @@ def _unlabeled_key(filename: str, role: str) -> Optional[str]:
         for sep in ("_", "-", "."):
             suffix = sep + token
             if low.endswith(suffix):
-                return stem[: -len(suffix)]
-    return stem
+                return low[: -len(suffix)]
+    return low
 
 
 @dataclasses.dataclass(frozen=True)
@@ -155,10 +158,13 @@ def pair_unlabeled(mixed_dir: str, source_dir: str) -> UnlabeledIndex:
 
     Unlike ``PairIndex`` this needs no alpha in the name: ``foo_mixed.tif``
     pairs with ``foo_source.tif``, ``scan3-bleed.tiff`` with
-    ``scan3-source.tiff``, and ``cell7.tif`` with ``cell7.tif``. The labeled
-    reference schema also pairs naturally (its ``_mixed``/``_source`` suffixes
-    strip to the same key). Raises ``ValueError`` on an ambiguous directory
-    (two files normalizing to one key) or when nothing pairs.
+    ``scan3-source.tiff``, and ``cell7.tif`` with ``cell7.tif``. Keys are
+    case-insensitive (``Foo_Mixed.tif`` pairs with ``foo_source.tif``; the
+    reported ``image_id`` is the lowercased key). The labeled reference
+    schema also pairs naturally (its ``_mixed``/``_source`` suffixes strip
+    to the same key). Raises ``ValueError`` on an ambiguous directory
+    (two files normalizing to one key, including by case alone) or when
+    nothing pairs.
     """
     def scan(directory: str, role: str) -> dict:
         keyed: dict = {}

@@ -95,3 +95,27 @@ def test_doctor_end_to_end(tmp_path, capsys):
     # flag validation
     assert dispatch(["doctor", "--image_size", "0"]) == 1
     assert "--image_size" in capsys.readouterr().out
+
+def test_dispatcher_export_import_error_discrimination(capsys, monkeypatch):
+    """The export fallback message must fire only when the tools/ tree
+    itself is absent (installed-package case); a genuine missing dependency
+    raised INSIDE tools/export_model.py propagates (round-3 advice)."""
+    import sys
+
+    # tools tree absent -> friendly not-in-checkout message, rc 1
+    monkeypatch.delitem(sys.modules, "tools.export_model", raising=False)
+    monkeypatch.setitem(sys.modules, "tools.export_model", None)
+    assert dispatch(["export", "--out", "x.ctkx"]) == 1
+    assert "not part of the installed package" in capsys.readouterr().out
+
+    # a transitive dependency missing -> re-raise, no misleading message
+    class _Raiser:
+        def find_spec(self, name, path=None, target=None):
+            if name == "tools.export_model":
+                raise ImportError("No module named 'somedep'", name="somedep")
+            return None
+
+    monkeypatch.delitem(sys.modules, "tools.export_model", raising=False)
+    monkeypatch.setattr(sys, "meta_path", [_Raiser()] + sys.meta_path)
+    with pytest.raises(ImportError, match="somedep"):
+        dispatch(["export", "--out", "x.ctkx"])

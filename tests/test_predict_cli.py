@@ -70,6 +70,22 @@ def test_pair_unlabeled_accepts_reference_schema(tmp_path):
     assert [s.image_id for s in index.samples] == ["image_42_alpha_0.25"]
 
 
+def test_pair_unlabeled_case_insensitive(tmp_path):
+    """Pairing keys are case-insensitive: 'Foo_Mixed.tif' pairs with
+    'foo_source.tif' (image_id is the lowercased key), and two files
+    differing only in case collide loudly (round-3 advice)."""
+    mixed, source = _dirs(tmp_path)
+    _write_pair(mixed, source, "Foo_Mixed.tif", "foo_source.tif", seed=1)
+    index = pair_unlabeled(mixed, source)
+    assert [s.image_id for s in index.samples] == ["foo"]
+    assert index.samples[0].mixed_path.endswith("Foo_Mixed.tif")
+    assert not index.unpaired_mixed and not index.unpaired_source
+
+    write_tile(os.path.join(mixed, "FOO_mixed.tif"), np.zeros((16, 16)) + 0.1)
+    with pytest.raises(ValueError, match="Ambiguous mixed"):
+        pair_unlabeled(mixed, source)
+
+
 def test_pair_unlabeled_ambiguous_key_raises(tmp_path):
     mixed, source = _dirs(tmp_path)
     _write_pair(mixed, source, "foo_mixed.tif", "foo_source.tif")

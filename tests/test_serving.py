@@ -706,6 +706,12 @@ def test_serve_cli_flag_validation(tmp_path, capsys):
     # out-of-range port: clear error, not socket OverflowError
     assert serve_main(["-p", "a.pth", "--port", "99999"]) == 1
     assert "--port must be in 0-65535" in capsys.readouterr().out
+    # non-positive --image_size: clear error, not a silent 256 fallback
+    # (0) or a raw np.zeros shape error (negative) — round-3 advice
+    assert serve_main(["-p", "a.pth", "--image_size", "0"]) == 1
+    assert "--image_size must be positive" in capsys.readouterr().out
+    assert serve_main(["-p", "a.pth", "--image_size", "-4"]) == 1
+    assert "--image_size must be positive" in capsys.readouterr().out
 
 
 def test_serve_cli_rejects_wrong_image_size(tmp_path, capsys):
