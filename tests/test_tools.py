@@ -27,6 +27,47 @@ def test_make_dataset_layout(tmp_path):
     assert (store.labels > 0).all() and (store.labels <= 0.5).all()
 
 
+def test_make_dataset_microscopy_preset(tmp_path):
+    """--preset microscopy writes the reference layout AND matches the real
+    bundled tiles' key statistics (right-skewed sparse intensities,
+    correlated channels, faint raw source) — the round-4 sim-to-real
+    generator (TRAINING_RESULTS 'sim-to-real')."""
+    import numpy as np
+
+    from crosstalk_tpu.data.index import PairIndex
+    from crosstalk_tpu.data.pipeline import TileStore
+    from crosstalk_tpu.data.synthetic import generate_pair_microscopy
+    from tools.make_dataset import main as make_dataset
+
+    rc = make_dataset([str(tmp_path), "-n", "6", "--size", "32",
+                       "--preset", "microscopy"])
+    assert rc in (0, None)
+    index = PairIndex(os.path.join(str(tmp_path), "Mixed"),
+                      os.path.join(str(tmp_path), "Source"))
+    store = TileStore(index.samples, jobs=2)
+    assert store.tiles.shape == (6, 32, 32, 2)
+    assert (store.labels > 0).all() and (store.labels <= 0.5).all()
+
+    # distribution properties, measured over enough pairs to be stable
+    rng = np.random.default_rng(3)
+    pairs = [generate_pair_microscopy(rng, 128) for _ in range(24)]
+    norm_means = []
+    for mixed, source, alpha in pairs:
+        assert 0.01 <= alpha <= 0.5
+        assert source.max() < 0.1, "raw source must be faint (real: <0.05)"
+        assert mixed.max() > 0.1, "raw mixed is O(0.1-1)"
+        sn = (source - source.min()) / (source.max() - source.min())
+        norm_means.append(sn.mean())
+    # right-skewed: normalized mean far below the uniform preset's 0.5
+    assert 0.03 < float(np.mean(norm_means)) < 0.35
+
+    # v1 preset is untouched (quickstart/back-compat)
+    from crosstalk_tpu.data.synthetic import generate_pair
+
+    m, s, a = generate_pair(np.random.default_rng(0), 32)
+    assert m.shape == (32, 32)
+
+
 def test_make_pretrained_artifact(tmp_path):
     """tools/make_pretrained.py regenerates the reference's missing
     PreTrained_Model artifact (naming contract train_model.py:645-646)."""

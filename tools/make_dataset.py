@@ -22,9 +22,17 @@ def main(argv=None) -> int:
     parser.add_argument("-n", "--num_pairs", type=int, default=1000)
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--preset", type=str, default="uniform",
+                        choices=("uniform", "microscopy"),
+                        help="'uniform': v1 dense blocks, independent "
+                             "channels. 'microscopy': matched to the real "
+                             "bundled IDR tiles' statistics (sparse "
+                             "log-skewed intensities, correlated channels, "
+                             "faint raw source scale)")
     args = parser.parse_args(argv)
 
-    generate_dataset(args.out_dir, args.num_pairs, args.size, args.seed)
+    generate_dataset(args.out_dir, args.num_pairs, args.size, args.seed,
+                     preset=args.preset)
     print(f"Wrote {args.num_pairs} pairs under {args.out_dir}")
     return 0
 
