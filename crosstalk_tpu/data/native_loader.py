@@ -1,8 +1,11 @@
-"""ctypes binding for the native C++ tile decoder (native/tile_loader.cpp).
+"""ctypes binding for the native C++ tile decoder
+(crosstalk_tpu/native/tile_loader.cpp — shipped as package data, so
+installed wheels get the fast path too, not just repo checkouts).
 
-Builds the shared library with g++ on first use (cached under .cache/native,
-keyed by a source hash) and exposes :func:`load_pairs_native`. Anything that
-fails — no compiler, exotic TIFF flavor, unexpected shape — falls back to the
+Builds the shared library with g++ on first use (cached under
+$CROSSTALK_CACHE_DIR or ~/.cache/crosstalk_tpu/native, keyed by a source
+hash) and exposes :func:`load_pairs_native`. Anything that fails — no
+compiler, exotic TIFF flavor, unexpected shape — falls back to the
 pure-Python decoder in pipeline.py, so the native path is strictly an
 accelerator, never a requirement.
 """
@@ -17,10 +20,18 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SOURCE = os.path.join(_REPO_ROOT, "native", "tile_loader.cpp")
+from crosstalk_tpu.native import SOURCE_PATH as _SOURCE
+
 _lib: Optional[ctypes.CDLL] = None
 _lib_failed = False
+
+
+def _cache_dir() -> str:
+    # site-packages is often read-only; a user cache works for installed
+    # wheels and checkouts alike (override: CROSSTALK_CACHE_DIR)
+    return os.environ.get("CROSSTALK_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "crosstalk_tpu", "native"
+    )
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
@@ -32,7 +43,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     try:
         with open(_SOURCE, "rb") as f:
             digest = hashlib.sha256(f.read()).hexdigest()[:16]
-        cache_dir = os.path.join(_REPO_ROOT, ".cache", "native")
+        cache_dir = _cache_dir()
         os.makedirs(cache_dir, exist_ok=True)
         so_path = os.path.join(cache_dir, f"libtileloader_{digest}.so")
         if not os.path.exists(so_path):

@@ -60,7 +60,7 @@ def load_tiles(
 ) -> np.ndarray:
     """Decode all tile pairs into a packed (N, H, W, 2) float32 array.
 
-    The hot path is the native C++ decoder (native/tile_loader.cpp via
+    The hot path is the native C++ decoder (crosstalk_tpu/native/tile_loader.cpp via
     crosstalk_tpu/data/native_loader.py) — a thread pool parsing the
     dataset's baseline-TIFF flavor straight into the packed buffer; exotic
     TIFFs or a missing toolchain fall back to the threaded Python decoder.
