@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute_dtype", type=str, default="bf16",
                         choices=["bf16", "f32"],
                         help="Conv/matmul compute dtype (bf16 = MXU-native)")
+    parser.add_argument("--dropout", type=float, default=None,
+                        help="Dropout rate override (reference hardcodes "
+                             "0.1 single / 0.5 double — regression_model.py:"
+                             "39,44, two_branch_regression.py:45,50). 0 "
+                             "makes training a deterministic function of "
+                             "the seed across device layouts")
     parser.add_argument("--output_base", type=str, default=".",
                         help="Where to create the training_run_* directory")
     parser.add_argument("--resume", type=str, default=None,
@@ -207,6 +213,7 @@ def main(argv=None) -> int:
             ("compute_dtype", str), ("seed", int),
             ("train_ratio", float), ("val_ratio", float),
             ("initial_filters", _opt_int), ("num_conv_blocks", _opt_int),
+            ("dropout", lambda v: None if v in (None, "None", "") else float(v)),
         ):
             if key in original:
                 orig_val = cast(original[key])
@@ -268,6 +275,14 @@ def main(argv=None) -> int:
             model_kw["initial_filters_per_branch"] = args.initial_filters
     if args.num_conv_blocks is not None:
         model_kw["num_conv_blocks"] = args.num_conv_blocks
+    if args.dropout is not None:
+        if not (0.0 <= args.dropout < 1.0):
+            print("Error: --dropout must be in [0, 1).")
+            return 1
+        if args.model_options == "single":
+            model_kw["dropout_single"] = args.dropout
+        else:
+            model_kw["dropout_double"] = args.dropout
     model_cfg = ModelConfig(variant=args.model_options,
                             compute_dtype=args.compute_dtype, **model_kw)
     model = build_model(model_cfg, axis_name="data" if mesh else None)

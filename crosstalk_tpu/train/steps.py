@@ -71,11 +71,21 @@ def _train_core(model, tx, axis_name: Optional[str], augment: bool = True):
     """
 
     def step_fn(state: TrainState, inputs, labels, lr, rng):
-        if axis_name is not None:
-            # decorrelate augmentation/dropout across shards
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         aug_rng, dropout_rng = jax.random.split(rng)
-        batch = prepare_train_batch(aug_rng, inputs, augment=augment)
+        if axis_name is not None:
+            # Dropout masks are whole-activation draws whose shapes depend on
+            # the shard batch — no layout-invariant scheme exists, so shards
+            # decorrelate. Augmentation, by contrast, is per-example: each
+            # shard passes its global batch offset and draws exactly the
+            # single-device flips (layout-invariant — see paired_random_flips).
+            idx = jax.lax.axis_index(axis_name)
+            dropout_rng = jax.random.fold_in(dropout_rng, idx)
+            index_offset = idx * inputs.shape[0]
+        else:
+            index_offset = 0
+        batch = prepare_train_batch(
+            aug_rng, inputs, augment=augment, index_offset=index_offset
+        )
 
         def loss_fn(params):
             preds, mut = model.apply(

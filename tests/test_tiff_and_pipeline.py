@@ -91,6 +91,28 @@ def test_paired_flips_keep_channels_aligned():
     assert 0 < n_h < 64 and 0 < n_v < 64
 
 
+def test_paired_flips_are_layout_invariant():
+    """The flip drawn for a sample depends only on (key, global index) —
+    splitting one global batch into shards with matching index offsets
+    reproduces the unsharded draws exactly. This is the property the
+    data-parallel train step relies on for 1-vs-N-device equivalence."""
+    rng = np.random.default_rng(7)
+    batch = rng.random((16, 8, 8, 2)).astype(np.float32)
+    key = jax.random.key(11)
+    whole = np.asarray(paired_random_flips(key, jnp.asarray(batch)))
+    shard = 16 // 4
+    parts = [
+        np.asarray(
+            paired_random_flips(
+                key, jnp.asarray(batch[i * shard:(i + 1) * shard]),
+                index_offset=i * shard,
+            )
+        )
+        for i in range(4)
+    ]
+    np.testing.assert_array_equal(whole, np.concatenate(parts, axis=0))
+
+
 def test_tilestore_and_batches(synthetic_data_dirs, tmp_path):
     mixed_dir, source_dir = synthetic_data_dirs
     index = PairIndex(mixed_dir, source_dir)

@@ -541,6 +541,100 @@ def test_train_cli_multi_device_smoke(tmp_path):
     assert os.path.exists(os.path.join(run_dir, "best_model_plateau.pth"))
 
 
+def test_train_cli_multi_device_epoch_scale_matches_single_device(tmp_path):
+    """Epoch-scale DP equivalence: the FULL train CLI on the virtual
+    8-device mesh vs 1 device — same seed, f32, `--dropout 0`, augmentation
+    ON (flips are layout-invariant by construction: per-global-example RNG,
+    see paired_random_flips; dropout masks are the one irreducibly
+    layout-bound draw, hence pinned to 0 here). Asserts the COMPOSED
+    multi-device training semantics over 6 epochs — psum-synced BN running
+    stats + per-example augmentation + masked val + Adam + onecycle —
+    not just the step-t=1 equivalence of
+    test_multi_device_step_numerically_matches_single_device: per-epoch
+    train/val CSV losses track within f32 reduction-order tolerance and
+    the final .pths agree.
+
+    Tolerances, measured and explained: per-epoch CSV losses agree to
+    ~1e-4 relative (asserted at 2e-3). Final-model *predictions* agree to
+    ~1e-3 (asserted at 3e-3). Individual parameters carry one inherent
+    looseness: Adam's bias-corrected first-step update is g/|g| — a full
+    ±lr regardless of |g| — so any component whose true gradient sits
+    below f32 reduction-order noise gets a layout-dependent coin-flip
+    sign and the two runs random-walk that component apart, bounded by
+    2·Σ_t lr_t (~2.4e-2 for this schedule; such components barely affect
+    the function, which is exactly why their gradients are ~0 — hence the
+    tight prediction agreement). Verified non-Adam: the identical 12-step
+    run under optax.identity keeps every parameter within 6e-6
+    (test_multi_device_step_numerically_matches_single_device pins the
+    gradient agreement itself).
+
+    Matches /root/reference/train_model.py:415-461 (the loop whose
+    semantics data parallelism must preserve)."""
+    import csv
+
+    import torch
+
+    from crosstalk_tpu.cli.train import main as train_main
+
+    mixed_dir, source_dir = make_synthetic_dataset(str(tmp_path), n=64, size=32, seed=12)
+    run_dirs = {}
+    for n_dev in (1, 8):
+        base = os.path.join(str(tmp_path), f"d{n_dev}")
+        rc = train_main([
+            "-m", mixed_dir, "-s", source_dir, "-b", "16", "-l", "1e-3",
+            "-n", "6", "-j", "2", "-o", "single", "-r", "onecycle",
+            "--compute_dtype", "f32", "--dropout", "0",
+            "--initial_filters", "8", "--num_conv_blocks", "3",
+            "--output_base", base, "--num_devices", str(n_dev),
+        ])
+        assert rc == 0
+        (run_dirs[n_dev],) = glob.glob(os.path.join(base, "training_run_*"))
+
+    def epochs(run_dir):
+        (log,) = glob.glob(os.path.join(run_dir, "training_log_*.csv"))
+        with open(log, newline="") as f:
+            rows = list(csv.reader(f))
+        head = rows.index(["epoch", "train_loss", "val_loss", "learning_rate"])
+        return [(float(r[1]), float(r[2])) for r in rows[head + 1:]]
+
+    e1, e8 = epochs(run_dirs[1]), epochs(run_dirs[8])
+    assert len(e1) == len(e8) == 6
+    for (t1, v1), (t8, v8) in zip(e1, e8):
+        # f32 reduction-order noise only (shard-mean+pmean vs global mean),
+        # compounded through 6 epochs of Adam
+        np.testing.assert_allclose(t1, t8, rtol=2e-3)
+        np.testing.assert_allclose(v1, v8, rtol=2e-3)
+
+    def final_sd(run_dir):
+        (pth,) = glob.glob(
+            os.path.join(run_dir, "crosstalk_regression_model_trained_*.pth"))
+        return torch.load(pth, map_location="cpu", weights_only=True)
+
+    sd1, sd8 = final_sd(run_dirs[1]), final_sd(run_dirs[8])
+    assert sd1.keys() == sd8.keys()
+    for k in sd1:
+        if not sd1[k].dtype.is_floating_point:
+            np.testing.assert_array_equal(sd1[k].numpy(), sd8[k].numpy())
+            continue
+        np.testing.assert_allclose(
+            sd1[k].numpy(), sd8[k].numpy(), atol=5e-2,
+            err_msg=f"final .pth disagrees at {k} beyond the 2*sum(lr) "
+                    "Adam sign-flip random-walk bound (see docstring)")
+
+    # the sharp functional pin: the final models are the same function
+    for split in ("train", "val", "test"):
+        preds = {}
+        for n_dev, run_dir in run_dirs.items():
+            (f,) = glob.glob(
+                os.path.join(run_dir, f"{split}_predictions_*.csv"))
+            with open(f, newline="") as fh:
+                rows = list(csv.DictReader(fh))
+            preds[n_dev] = np.array(
+                [float(r["Predicted_Label"]) for r in rows])
+        np.testing.assert_allclose(preds[1], preds[8], atol=3e-3,
+                                   err_msg=f"{split} predictions diverged")
+
+
 def test_train_cli_custom_model_size_roundtrip(tmp_path):
     """--initial_filters/--num_conv_blocks (extension flags): train a
     custom-width/depth model end to end, strict-load the final .pth into
