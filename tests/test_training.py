@@ -541,7 +541,9 @@ def test_train_cli_multi_device_smoke(tmp_path):
     assert os.path.exists(os.path.join(run_dir, "best_model_plateau.pth"))
 
 
-def test_train_cli_multi_device_epoch_scale_matches_single_device(tmp_path):
+@pytest.mark.parametrize("variant", ["single", "double"])
+def test_train_cli_multi_device_epoch_scale_matches_single_device(
+        tmp_path, variant):
     """Epoch-scale DP equivalence: the FULL train CLI on the virtual
     8-device mesh vs 1 device — same seed, f32, `--dropout 0`, augmentation
     ON (flips are layout-invariant by construction: per-global-example RNG,
@@ -577,14 +579,17 @@ def test_train_cli_multi_device_epoch_scale_matches_single_device(tmp_path):
     from crosstalk_tpu.cli.train import main as train_main
 
     mixed_dir, source_dir = make_synthetic_dataset(str(tmp_path), n=64, size=32, seed=12)
+    size_flags = (["--initial_filters", "8", "--num_conv_blocks", "3"]
+                  if variant == "single" else ["--initial_filters", "4"])
+    n_epochs = 6 if variant == "single" else 4
     run_dirs = {}
     for n_dev in (1, 8):
         base = os.path.join(str(tmp_path), f"d{n_dev}")
         rc = train_main([
             "-m", mixed_dir, "-s", source_dir, "-b", "16", "-l", "1e-3",
-            "-n", "6", "-j", "2", "-o", "single", "-r", "onecycle",
+            "-n", str(n_epochs), "-j", "2", "-o", variant, "-r", "onecycle",
             "--compute_dtype", "f32", "--dropout", "0",
-            "--initial_filters", "8", "--num_conv_blocks", "3",
+            *size_flags,
             "--output_base", base, "--num_devices", str(n_dev),
         ])
         assert rc == 0
@@ -598,7 +603,7 @@ def test_train_cli_multi_device_epoch_scale_matches_single_device(tmp_path):
         return [(float(r[1]), float(r[2])) for r in rows[head + 1:]]
 
     e1, e8 = epochs(run_dirs[1]), epochs(run_dirs[8])
-    assert len(e1) == len(e8) == 6
+    assert len(e1) == len(e8) == n_epochs
     for (t1, v1), (t8, v8) in zip(e1, e8):
         # f32 reduction-order noise only (shard-mean+pmean vs global mean),
         # compounded through 6 epochs of Adam
