@@ -86,9 +86,9 @@ def bench_model(variant: str, infer_batch: int, train_batch: int, mesh=None,
     variables = init_model(model, jax.random.key(0), image_size=image_size,
                            batch=2)
 
-    SCAN_LEN = scan_len or 16
+    SCAN_LEN = 16 if scan_len is None else scan_len
     # longer scan amortizes the fixed scan-entry cost
-    INFER_SCAN_LEN = scan_len or 32
+    INFER_SCAN_LEN = 32 if scan_len is None else scan_len
 
     # ---------- inference (serving path) ----------
     # the Pallas input-block kernel is TPU-only; CPU (virtual-mesh smoke
@@ -228,6 +228,11 @@ def main(argv=None) -> None:
         help="tile size (default 256, the production shape; lower it for "
              "CPU-mesh plumbing smokes)")
     args = parser.parse_args(argv)
+    for flag in ("num_devices", "infer_batch", "train_batch", "image_size"):
+        if getattr(args, flag) < 1:
+            parser.error(f"--{flag} must be >= 1")
+    if args.scan_len is not None and args.scan_len < 1:
+        parser.error("--scan_len must be >= 1")
 
     mesh = None
     if args.num_devices > 1:

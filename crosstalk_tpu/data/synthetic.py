@@ -68,7 +68,7 @@ def generate_pair_microscopy(rng: np.random.Generator, size: int):
       normalization the real tiles put ~57% of pixels in the bottom decile
       (normalized mean 0.12-0.15); v1 ``generate_pair`` is uniform
       (mean 0.50). Achieved by raising a blurred Gaussian field to a
-      power p ∈ [2, 6].
+      power p ∈ [1.5, 5].
     * wide per-tile structural variance — the real per-tile power-spectrum
       centroid spans ~5-37 px⁻¹ (22.8 ± 14.4) and foreground fraction
       0.50 ± 0.42: some tiles are dense cell fields, some nearly empty.
@@ -118,9 +118,13 @@ def generate_pair_microscopy(rng: np.random.Generator, size: int):
     return mixed, source, alpha
 
 
+# Every preset is called as fn(rng, size, block=...) by generate_dataset;
+# ``block`` is the v1 blob granularity and presets that don't have the
+# concept ignore it. tools/make_dataset.py derives its --preset choices
+# from this registry — adding a preset here is the only required change.
 _PRESETS = {
     "uniform": generate_pair,  # v1: dense uniform blocks, independent channels
-    "microscopy": generate_pair_microscopy,
+    "microscopy": lambda rng, size, block=8: generate_pair_microscopy(rng, size),
 }
 
 
@@ -150,10 +154,7 @@ def generate_dataset(
 
     rng = np.random.default_rng(seed)
     for i in range(num_pairs):
-        if preset == "uniform":
-            mixed, source, alpha = generate_pair(rng, size, block=block)
-        else:
-            mixed, source, alpha = _PRESETS[preset](rng, size)
+        mixed, source, alpha = _PRESETS[preset](rng, size, block=block)
         name = f"image_{start_id + i}_alpha_{alpha}"
         write_tile(os.path.join(mixed_dir, f"{name}_mixed.tif"), mixed)
         write_tile(os.path.join(source_dir, f"{name}_source.tif"), source)

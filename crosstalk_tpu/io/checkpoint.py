@@ -127,15 +127,35 @@ def _read_ckpt_file(path: str) -> Tuple[dict, bytes]:
     return meta, data
 
 
+def _read_ckpt_meta_only(path: str) -> dict:
+    """Header + JSON meta via seeks — O(KB) I/O regardless of state size.
+
+    Does NOT read or digest-verify the state bytes (that work belongs to
+    ``load_checkpoint``; a meta poll against the ~1.6 GB two-branch
+    checkpoint must not read the whole file — the training-status watchers
+    poll this every fraction of a second)."""
+    with open(path, "rb") as f:
+        if f.read(len(_MAGIC)) != _MAGIC:
+            raise ValueError(f"{path}: not a crosstalk checkpoint (bad magic)")
+        raw_len = f.read(_LEN.size)
+        if len(raw_len) < _LEN.size:
+            raise ValueError(f"{path}: truncated header")
+        (meta_len,) = _LEN.unpack(raw_len)
+        raw_meta = f.read(meta_len)
+        if len(raw_meta) < meta_len:
+            raise ValueError(f"{path}: truncated meta block")
+        return json.loads(raw_meta.decode("utf-8"))
+
+
 def read_checkpoint_meta(run_dir: str) -> Optional[dict]:
     """Read just the host-side meta of the latest durable checkpoint
-    (header + JSON only — no pytree deserialization). None if absent."""
+    (header + JSON only — no state read, no pytree deserialization).
+    None if absent."""
     ckpt_dir = os.path.join(run_dir, CKPT_DIR)
     for name in (CKPT_FILE, PREV_FILE):
         path = os.path.join(ckpt_dir, name)
         try:
-            meta, _ = _read_ckpt_file(path)
-            return meta
+            return _read_ckpt_meta_only(path)
         except (OSError, ValueError):
             continue
     meta_path = os.path.join(ckpt_dir, META_FILE)  # legacy two-file format
@@ -265,7 +285,11 @@ def load_checkpoint(run_dir: str, state_template) -> Optional[Tuple[object, dict
             continue
         try:
             meta, data = _read_ckpt_file(path)
-        except ValueError as e:
+        except (OSError, ValueError) as e:
+            # OSError too: an EIO on the current file is exactly the
+            # corruption case the previous generation exists for, and the
+            # exists()/open() race against the saver's rotate rename shows
+            # up as FileNotFoundError
             errors.append(str(e))
             continue
         if name == PREV_FILE:

@@ -27,8 +27,13 @@ def test_bench_mesh_mode_smoke(capsys):
     # 0.1 independently, hence the loose tolerance)
     assert result["infer_tps_global"] == pytest.approx(
         8 * result["infer_tps"], rel=0.1)
-    # CPU mesh runs must self-describe as plumbing-only
-    assert "NOT meaningful" in result["note"]
+    # CPU mesh runs must self-describe as plumbing-only; on real multi-chip
+    # TPU hardware (the v5e-8 target) the rates are genuine and bench.py
+    # correctly emits no such disclaimer
+    if jax.devices()[0].platform == "cpu":
+        assert "NOT meaningful" in result["note"]
+    else:
+        assert "note" not in result
 
 
 def test_bench_single_device_json_contract(capsys):

@@ -13,7 +13,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from crosstalk_tpu.data.synthetic import generate_dataset  # noqa: E402
+from crosstalk_tpu.data.synthetic import _PRESETS, generate_dataset  # noqa: E402
 
 
 def main(argv=None) -> int:
@@ -23,7 +23,7 @@ def main(argv=None) -> int:
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--preset", type=str, default="uniform",
-                        choices=("uniform", "microscopy"),
+                        choices=sorted(_PRESETS),
                         help="'uniform': v1 dense blocks, independent "
                              "channels. 'microscopy': matched to the real "
                              "bundled IDR tiles' statistics (sparse "
