@@ -96,3 +96,4 @@ class TrainConfig:
     output_base: str = "."
     resume: Optional[str] = None  # run dir to resume from (native checkpoints)
     checkpoint_every: int = 1     # native-resume checkpoint cadence (epochs)
+    grad_accum: int = 1           # microbatches per optimizer step (extension)

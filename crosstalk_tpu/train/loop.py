@@ -94,8 +94,9 @@ def train_model(
     if len(val_store) == 0:
         raise ValueError("SplitCrosstalkDataset received no samples.")
 
+    grad_accum = getattr(train_cfg, "grad_accum", 1)
     schedule = Schedule(optim_cfg, train_cfg.num_epochs, steps_per_epoch)
-    train_step = make_train_step(model, tx, mesh=mesh)
+    train_step = make_train_step(model, tx, mesh=mesh, grad_accum=grad_accum)
     val_step = make_val_step(model, mesh=mesh)
     sharding = batch_sharding(mesh)
     state = replicate_state(state, mesh)

@@ -61,14 +61,88 @@ def init_train_state(model, variables, tx) -> TrainState:
     )
 
 
-def _train_core(model, tx, axis_name: Optional[str], augment: bool = True):
+def _train_core(model, tx, axis_name: Optional[str], augment: bool = True,
+                grad_accum: int = 1):
     """The per-shard training step body.
 
     ``augment=False`` skips the random flips, making the step a pure
     function of (state, batch) — this is what lets the N-device == 1-device
     equivalence claim in the module docstring be asserted numerically
     (tests/test_training.py) rather than only stated.
+
+    ``grad_accum=N`` (extension — the reference's loop,
+    train_model.py:419-424, has no equivalent) splits the step's batch into
+    N sequential microbatches inside ONE compiled program: a ``lax.scan``
+    whose body runs forward+backward on batch/N examples, so peak activation
+    memory is bounded by the microbatch while the optimizer still takes one
+    step on the mean gradient of the full batch. Semantics match a torch
+    accumulation loop exactly (``(loss/N).backward()`` per microbatch, one
+    ``optimizer.step()``): each microbatch is normalized by its OWN
+    BatchNorm batch statistics and running stats update sequentially — so
+    ``grad_accum=N`` at batch B is NOT bitwise the big-batch step at B
+    (BN stats and dropout draws differ); it is bitwise the accumulation
+    loop every torch user writes. Augmentation stays layout-invariant:
+    each example's flip is drawn from its global batch index, so
+    accumulated and unaccumulated steps see identical augmented pixels.
     """
+
+    def accum_step_fn(state: TrainState, inputs, labels, lr, rng):
+        aug_rng, dropout_rng = jax.random.split(rng)
+        if axis_name is not None:
+            idx = jax.lax.axis_index(axis_name)
+            dropout_rng = jax.random.fold_in(dropout_rng, idx)
+            shard_offset = idx * inputs.shape[0]
+        else:
+            shard_offset = 0
+        if inputs.shape[0] % grad_accum:
+            raise ValueError(
+                f"per-step batch {inputs.shape[0]} must divide by "
+                f"grad_accum {grad_accum}"
+            )
+        micro = inputs.shape[0] // grad_accum
+        xs = inputs.reshape(grad_accum, micro, *inputs.shape[1:])
+        ys = labels.reshape(grad_accum, micro, *labels.shape[1:])
+
+        def loss_fn(params, batch_stats, batch, yb, drng):
+            preds, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": drng},
+            )
+            loss = jnp.mean(jnp.square(preds - yb))
+            return loss, mut["batch_stats"]
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def micro_step(carry, scanned):
+            stats, grad_sum, loss_sum = carry
+            i, xb, yb = scanned
+            batch = prepare_train_batch(
+                aug_rng, xb, augment=augment,
+                index_offset=shard_offset + i * micro,
+            )
+            (loss, stats), g = grad_fn(
+                state.params, stats, batch, yb,
+                jax.random.fold_in(dropout_rng, i),
+            )
+            grad_sum = jax.tree.map(jnp.add, grad_sum, g)
+            return (stats, grad_sum, loss_sum + loss), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        (new_stats, grad_sum, loss_sum), _ = jax.lax.scan(
+            micro_step,
+            (state.batch_stats, zero_grads, jnp.zeros((), jnp.float32)),
+            (jnp.arange(grad_accum), xs, ys),
+        )
+        # equal microbatches: mean of per-microbatch means == full-batch mean
+        grads = jax.tree.map(lambda g: g / grad_accum, grad_sum)
+        loss = loss_sum / grad_accum
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        return _apply_update(state, tx, grads, new_stats, loss, lr)
 
     def step_fn(state: TrainState, inputs, labels, lr, rng):
         aug_rng, dropout_rng = jax.random.split(rng)
@@ -105,19 +179,24 @@ def _train_core(model, tx, axis_name: Optional[str], augment: bool = True):
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
 
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(
-            lambda p, u: (p - lr * u).astype(p.dtype), state.params, updates
-        )
-        new_state = state.replace(
-            params=new_params,
-            batch_stats=new_stats,
-            opt_state=new_opt_state,
-            step=state.step + 1,
-        )
-        return new_state, loss
+        return _apply_update(state, tx, grads, new_stats, loss, lr)
 
-    return step_fn
+    return accum_step_fn if grad_accum > 1 else step_fn
+
+
+def _apply_update(state: TrainState, tx, grads, new_stats, loss, lr):
+    """One optimizer step: params -= lr * unscaled-Adam(update)."""
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(
+        lambda p, u: (p - lr * u).astype(p.dtype), state.params, updates
+    )
+    new_state = state.replace(
+        params=new_params,
+        batch_stats=new_stats,
+        opt_state=new_opt_state,
+        step=state.step + 1,
+    )
+    return new_state, loss
 
 
 def _val_core(model, axis_name: Optional[str]):
@@ -139,18 +218,26 @@ def _val_core(model, axis_name: Optional[str]):
 
 
 def make_train_step(model, tx, mesh=None, axis_name: str = "data",
-                    augment: bool = True):
+                    augment: bool = True, grad_accum: int = 1):
     """-> jitted fn(state, inputs, labels, lr, rng) -> (state, loss).
 
     With a mesh, the function is shard_mapped over it: call it with the
     batch sharded P(axis_name) on dim 0 (see ``batch_sharding``) and the
     state replicated. The state argument is donated.
+
+    ``grad_accum=N`` runs the step as N sequential microbatches (the step's
+    batch — per-shard batch under a mesh — must divide by N); see
+    ``_train_core`` for the exact semantics.
     """
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     if mesh is None:
-        core = _train_core(model, tx, axis_name=None, augment=augment)
+        core = _train_core(model, tx, axis_name=None, augment=augment,
+                           grad_accum=grad_accum)
         return jax.jit(core, donate_argnums=0)
 
-    core = _train_core(model, tx, axis_name=axis_name, augment=augment)
+    core = _train_core(model, tx, axis_name=axis_name, augment=augment,
+                       grad_accum=grad_accum)
     mapped = jax.shard_map(
         core,
         mesh=mesh,

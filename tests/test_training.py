@@ -1103,3 +1103,247 @@ def test_checkpoint_kill_any_instant(tmp_path):
             f"kill {i}: state (epoch {w[0]}) and meta (epoch "
             f"{meta['epoch']}) are from different saves"
         )
+
+
+# ---------------------------------------------------------------------------
+# Gradient accumulation (--grad_accum, extension — the reference's loop
+# train_model.py:419-424 has no equivalent)
+# ---------------------------------------------------------------------------
+
+def test_grad_accum_step_matches_manual_microbatch_loop():
+    """The grad_accum=2 compiled step is bitwise the semantics it documents:
+    N sequential microbatch forward/backward passes (each normalized by its
+    OWN BatchNorm batch stats, running stats threaded through), the mean
+    gradient applied in ONE optimizer step, and layout-invariant
+    augmentation (each example's flip drawn from its global batch index).
+
+    Identity optimizer so the param diff IS lr x the gradient diff — with
+    Adam, elements whose true gradient is ~0 (BN-shadowed biases) flip
+    their unit-magnitude first-step direction under f32 scan-vs-eager
+    reduction-order noise (same rationale as the 8-device equivalence
+    test above); Adam itself is pinned by the torch-accumulation
+    trajectory test below."""
+    import optax
+
+    from crosstalk_tpu.data.transforms import prepare_train_batch
+
+    cfg = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=3,
+                      compute_dtype="f32", dropout_single=0.0)
+    model = build_model(cfg)
+    tx = optax.identity()
+    variables = init_model(model, jax.random.key(11), image_size=32)
+    state = init_train_state(model, variables, tx)
+    state_manual = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
+
+    rng = np.random.default_rng(12)
+    inputs = (rng.random((8, 32, 32, 2)) * 1800 + 100).astype(np.float32)
+    labels = rng.uniform(0, 0.5, (8, 1)).astype(np.float32)
+    lr = np.float32(1e-3)
+    step_rng = jax.random.key(9)
+
+    accum_step = make_train_step(model, tx, grad_accum=2)
+    new_state, loss = accum_step(
+        state, jnp.asarray(inputs), jnp.asarray(labels), lr, step_rng)
+
+    # manual loop: same rng derivation as the step (split -> aug/dropout)
+    aug_rng, dropout_rng = jax.random.split(step_rng)
+    micro = 4
+    stats = state_manual.batch_stats
+    grad_sum = jax.tree.map(jnp.zeros_like, state_manual.params)
+    loss_sum = 0.0
+    for i in range(2):
+        xb = jnp.asarray(inputs[i * micro:(i + 1) * micro])
+        yb = jnp.asarray(labels[i * micro:(i + 1) * micro])
+        batch = prepare_train_batch(aug_rng, xb, augment=True,
+                                    index_offset=i * micro)
+
+        def loss_fn(params, stats=stats, batch=batch, yb=yb, i=i):
+            preds, mut = model.apply(
+                {"params": params, "batch_stats": stats}, batch,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(dropout_rng, i)})
+            return jnp.mean(jnp.square(preds - yb)), mut["batch_stats"]
+
+        (l, stats), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            state_manual.params)
+        grad_sum = jax.tree.map(jnp.add, grad_sum, g)
+        loss_sum += float(l)
+    grads = jax.tree.map(lambda g: g / 2, grad_sum)
+    updates, _ = tx.update(grads, state_manual.opt_state, state_manual.params)
+    manual_params = jax.tree.map(
+        lambda p, u: p - lr * u, state_manual.params, updates)
+
+    np.testing.assert_allclose(float(loss), loss_sum / 2, rtol=1e-4)
+    for jp, mp in zip(jax.tree.leaves(new_state.params),
+                      jax.tree.leaves(manual_params)):
+        np.testing.assert_allclose(np.asarray(jp), np.asarray(mp), atol=2e-6)
+    for js, ms in zip(jax.tree.leaves(new_state.batch_stats),
+                      jax.tree.leaves(stats)):
+        np.testing.assert_allclose(np.asarray(js), np.asarray(ms), atol=1e-6)
+    assert int(new_state.step) == 1  # one optimizer step, not grad_accum
+
+
+def test_grad_accum_multi_device_matches_single_device():
+    """grad_accum composes with the DP mesh: the 8-device grad_accum=2 step
+    equals a 1-device grad_accum=2 step whose batch rows are reordered to
+    the sharded microbatch grouping (microbatch j on the mesh is the union
+    over shards s of rows s*S + [j*m, (j+1)*m) — psum-synced BN makes each
+    scan iteration one global microbatch). Identity optimizer so the param
+    diff pins gradient equality; augment off so both paths are
+    deterministic functions of the rows."""
+    import optax
+
+    from crosstalk_tpu.parallel.mesh import data_mesh
+    from crosstalk_tpu.train.steps import batch_sharding, replicate_state
+
+    cfg = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=3,
+                      compute_dtype="f32", dropout_single=0.0)
+    mesh = data_mesh(8)
+    model1 = build_model(cfg)
+    modelN = build_model(cfg, axis_name="data")
+    tx = optax.identity()
+    variables = init_model(model1, jax.random.key(4), image_size=32)
+    state = init_train_state(model1, variables, tx)
+    state1 = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
+    stateN = replicate_state(
+        jax.tree.map(lambda x: jnp.array(x, copy=True), state), mesh)
+
+    rng = np.random.default_rng(13)
+    inputs = (rng.random((16, 32, 32, 2)) * 1800 + 100).astype(np.float32)
+    labels = rng.uniform(0, 0.5, (16, 1)).astype(np.float32)
+    lr = np.float32(1e-3)
+    key = jax.random.key(3)
+
+    stepN = make_train_step(modelN, tx, mesh=mesh, augment=False,
+                            grad_accum=2)
+    sharding = batch_sharding(mesh)
+    stateN, lossN = stepN(
+        stateN, jax.device_put(jnp.asarray(inputs), sharding),
+        jax.device_put(jnp.asarray(labels), sharding), lr, key)
+
+    # single device on the union-reordered batch: micro j = rows
+    # {s*2 + j for s in range(8)} (S=2 rows/shard, m=1 row/microbatch)
+    order = np.array([s * 2 + j for j in range(2) for s in range(8)])
+    step1 = make_train_step(model1, tx, augment=False, grad_accum=2)
+    state1, loss1 = step1(
+        state1, jnp.asarray(inputs[order]), jnp.asarray(labels[order]),
+        lr, key)
+
+    np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-4)
+    for pN, p1 in zip(jax.tree.leaves(stateN.params),
+                      jax.tree.leaves(state1.params)):
+        np.testing.assert_allclose(
+            np.asarray(pN), np.asarray(p1), atol=2e-6)
+    for sN, s1 in zip(jax.tree.leaves(stateN.batch_stats),
+                      jax.tree.leaves(state1.batch_stats)):
+        # atol: psum-tree vs single-device reduction order, f32 noise
+        np.testing.assert_allclose(
+            np.asarray(sN), np.asarray(s1), atol=5e-6)
+
+
+def test_grad_accum_trajectory_matches_torch_accumulation_loop():
+    """4 optimizer steps of grad_accum=2 track the torch accumulation loop
+    every torch user writes — per microbatch: forward, (loss/N).backward();
+    then one optimizer.step() — on identical init and batch sequence
+    (augment and dropout off). Pins that BN running stats update per
+    MICRObatch and the mean gradient lands in one Adam step."""
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from tests.test_torch_parity import (
+        SMALL_SINGLE,
+        TorchSingle,
+        _flax_eval,
+        _torch_eval,
+        torch_to_flax,
+    )
+
+    torch.manual_seed(41)
+    tmodel = TorchSingle(**SMALL_SINGLE)
+    tmodel.train()
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.eval()
+    opt = torch.optim.Adam(tmodel.parameters(), lr=1e-3, weight_decay=1e-4)
+
+    variables = torch_to_flax(tmodel.state_dict(), "single")
+    cfg = ModelConfig(variant="single", initial_filters=8, num_conv_blocks=3,
+                      compute_dtype="f32", dropout_single=0.0)
+    model = build_model(cfg)
+    tx = make_optimizer(OptimConfig(weight_decay=1e-4))
+    state = init_train_state(model, variables, tx)
+    step = make_train_step(model, tx, augment=False, grad_accum=2)
+
+    rng = np.random.default_rng(42)
+    key = jax.random.key(0)
+    for i in range(4):
+        raw = (rng.random((8, 32, 32, 2)) * 1800 + 100).astype(np.float32)
+        y = rng.uniform(0, 0.5, (8, 1)).astype(np.float32)
+        norm = np.asarray(normalize_batch_nhwc(jnp.asarray(raw)))
+
+        state, loss_j = step(state, jnp.asarray(raw), jnp.asarray(y),
+                             np.float32(1e-3), key)
+
+        opt.zero_grad()
+        losses_t = []
+        for j in range(2):
+            xt = torch.from_numpy(np.ascontiguousarray(
+                norm[j * 4:(j + 1) * 4].transpose(0, 3, 1, 2)))
+            yt = torch.from_numpy(y[j * 4:(j + 1) * 4])
+            loss_t = torch.nn.MSELoss()(tmodel(xt), yt)
+            (loss_t / 2).backward()
+            losses_t.append(float(loss_t.detach()))
+        opt.step()
+        np.testing.assert_allclose(
+            float(loss_j), np.mean(losses_t), rtol=2e-3,
+            err_msg=f"accumulated loss diverged at optimizer step {i}")
+
+    tmodel.eval()
+    x_eval = (rng.random((4, 32, 32, 2)) * 1800 + 100).astype(np.float32)
+    norm_eval = np.asarray(normalize_batch_nhwc(jnp.asarray(x_eval)))
+    ours = _flax_eval(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        norm_eval)
+    np.testing.assert_allclose(
+        ours, _torch_eval(tmodel, norm_eval), atol=1e-4)
+
+
+def test_train_cli_grad_accum_e2e(tmp_path):
+    """--grad_accum 2 through the full CLI: trains, writes the artifact
+    contract, and rejects a non-dividing batch with a clear error."""
+    from crosstalk_tpu.cli.train import main as train_main
+
+    mixed_dir, source_dir = make_synthetic_dataset(
+        str(tmp_path), n=12, size=64, seed=14)
+    rc = train_main([
+        "-m", mixed_dir, "-s", source_dir, "-b", "8", "-l", "1e-3", "-n", "2",
+        "-j", "2", "-o", "single", "-r", "onecycle",
+        "--compute_dtype", "f32", "--output_base", str(tmp_path),
+        "--num_devices", "1", "--grad_accum", "2",
+    ])
+    assert rc == 0
+    (run_dir,) = glob.glob(os.path.join(str(tmp_path), "training_run_*"))
+    assert os.path.exists(os.path.join(run_dir, "best_model_onecycle.pth"))
+    logs = glob.glob(os.path.join(run_dir, "training_log_*_8_0.001_onecycle.csv"))
+    assert len(logs) == 1
+    with open(logs[0]) as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 5 + 2  # schedule header + 2 epochs
+
+
+def test_train_cli_grad_accum_rejects_nondividing_batch(tmp_path, capsys):
+    from crosstalk_tpu.cli.train import main as train_main
+
+    mixed_dir, source_dir = make_synthetic_dataset(
+        str(tmp_path), n=12, size=64, seed=15)
+    rc = train_main([
+        "-m", mixed_dir, "-s", source_dir, "-b", "6", "-n", "1",
+        "-o", "single", "--output_base", str(tmp_path),
+        "--num_devices", "1", "--grad_accum", "4",
+    ])
+    assert rc == 1
+    assert "must divide by --grad_accum" in capsys.readouterr().out
+
+    rc = train_main([
+        "-m", mixed_dir, "-s", source_dir, "-b", "8", "-n", "1",
+        "-o", "single", "--output_base", str(tmp_path), "--grad_accum", "0",
+    ])
+    assert rc == 1
