@@ -226,6 +226,10 @@ def main(argv=None) -> int:
             ("train_ratio", float), ("val_ratio", float),
             ("initial_filters", _opt_int), ("num_conv_blocks", _opt_int),
             ("dropout", lambda v: None if v in (None, "None", "") else float(v)),
+            # grad_accum changes the step's BN/dropout trajectory (one
+            # microbatch-stat update per microbatch) — run identity, so a
+            # resumed run must not silently switch accumulation semantics
+            ("grad_accum", int),
         ):
             if key in original:
                 orig_val = cast(original[key])

@@ -1306,9 +1306,10 @@ def test_grad_accum_trajectory_matches_torch_accumulation_loop():
         ours, _torch_eval(tmodel, norm_eval), atol=1e-4)
 
 
-def test_train_cli_grad_accum_e2e(tmp_path):
+def test_train_cli_grad_accum_e2e(tmp_path, capsys):
     """--grad_accum 2 through the full CLI: trains, writes the artifact
-    contract, and rejects a non-dividing batch with a clear error."""
+    contract, and a resume WITHOUT the flag re-adopts it (accumulation
+    changes the BN/dropout trajectory, so it is run identity)."""
     from crosstalk_tpu.cli.train import main as train_main
 
     mixed_dir, source_dir = make_synthetic_dataset(
@@ -1327,6 +1328,20 @@ def test_train_cli_grad_accum_e2e(tmp_path):
     with open(logs[0]) as f:
         rows = list(csv.reader(f))
     assert len(rows) == 5 + 2  # schedule header + 2 epochs
+
+    # resume with --grad_accum left at its default: the original run's
+    # accumulation is adopted from params.txt, not silently reset to 1
+    capsys.readouterr()
+    rc = train_main([
+        "-m", mixed_dir, "-s", source_dir, "-n", "3",
+        "-j", "2", "-o", "single", "--output_base", str(tmp_path),
+        "--num_devices", "1", "--resume", run_dir,
+    ])
+    assert rc == 0
+    assert "grad_accum=2" in capsys.readouterr().out
+    with open(logs[0]) as f:
+        epochs = [int(r[0]) for r in list(csv.reader(f))[5:]]
+    assert epochs == [1, 2, 3]
 
 
 def test_train_cli_grad_accum_rejects_nondividing_batch(tmp_path, capsys):
