@@ -214,6 +214,12 @@ def main(argv=None) -> int:
         # continued CSV) and the schedule silently changes. -n stays from
         # the invocation: it is the (extendable) total-epoch target.
         original = artifacts.read_params_txt(args.resume)
+        # run dirs that predate --grad_accum recorded no key; their
+        # effective accumulation was 1 — adopt it like any other identity
+        # hyperparameter so resuming with --grad_accum N can't silently
+        # switch the run's accumulation semantics
+        if original:
+            original.setdefault("grad_accum", "1")
         adopted = []
 
         def _opt_int(v):  # "None" <-> flag left at its default

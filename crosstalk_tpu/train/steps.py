@@ -86,14 +86,42 @@ def _train_core(model, tx, axis_name: Optional[str], augment: bool = True,
     accumulated and unaccumulated steps see identical augmented pixels.
     """
 
-    def accum_step_fn(state: TrainState, inputs, labels, lr, rng):
+    def loss_fn(params, batch_stats, batch, targets, dropout_rng):
+        preds, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng},
+        )
+        loss = jnp.mean(jnp.square(preds - targets))
+        return loss, mut["batch_stats"]
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def rngs_and_offset(rng, per_step_batch: int):
+        """Split the step key and localize it to this shard.
+
+        Dropout masks are whole-activation draws whose shapes depend on
+        the shard batch — no layout-invariant scheme exists, so shards
+        decorrelate (fold_in on the axis index). Augmentation, by
+        contrast, is per-example: each shard passes its global batch
+        offset and draws exactly the single-device flips
+        (layout-invariant — see paired_random_flips).
+        """
         aug_rng, dropout_rng = jax.random.split(rng)
         if axis_name is not None:
             idx = jax.lax.axis_index(axis_name)
             dropout_rng = jax.random.fold_in(dropout_rng, idx)
-            shard_offset = idx * inputs.shape[0]
+            offset = idx * per_step_batch
         else:
-            shard_offset = 0
+            offset = 0
+        return aug_rng, dropout_rng, offset
+
+    def accum_step_fn(state: TrainState, inputs, labels, lr, rng):
+        aug_rng, dropout_rng, shard_offset = rngs_and_offset(
+            rng, inputs.shape[0]
+        )
         if inputs.shape[0] % grad_accum:
             raise ValueError(
                 f"per-step batch {inputs.shape[0]} must divide by "
@@ -102,19 +130,6 @@ def _train_core(model, tx, axis_name: Optional[str], augment: bool = True,
         micro = inputs.shape[0] // grad_accum
         xs = inputs.reshape(grad_accum, micro, *inputs.shape[1:])
         ys = labels.reshape(grad_accum, micro, *labels.shape[1:])
-
-        def loss_fn(params, batch_stats, batch, yb, drng):
-            preds, mut = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                batch,
-                train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": drng},
-            )
-            loss = jnp.mean(jnp.square(preds - yb))
-            return loss, mut["batch_stats"]
-
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
         def micro_step(carry, scanned):
             stats, grad_sum, loss_sum = carry
@@ -145,35 +160,14 @@ def _train_core(model, tx, axis_name: Optional[str], augment: bool = True,
         return _apply_update(state, tx, grads, new_stats, loss, lr)
 
     def step_fn(state: TrainState, inputs, labels, lr, rng):
-        aug_rng, dropout_rng = jax.random.split(rng)
-        if axis_name is not None:
-            # Dropout masks are whole-activation draws whose shapes depend on
-            # the shard batch — no layout-invariant scheme exists, so shards
-            # decorrelate. Augmentation, by contrast, is per-example: each
-            # shard passes its global batch offset and draws exactly the
-            # single-device flips (layout-invariant — see paired_random_flips).
-            idx = jax.lax.axis_index(axis_name)
-            dropout_rng = jax.random.fold_in(dropout_rng, idx)
-            index_offset = idx * inputs.shape[0]
-        else:
-            index_offset = 0
+        aug_rng, dropout_rng, index_offset = rngs_and_offset(
+            rng, inputs.shape[0]
+        )
         batch = prepare_train_batch(
             aug_rng, inputs, augment=augment, index_offset=index_offset
         )
-
-        def loss_fn(params):
-            preds, mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch,
-                train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": dropout_rng},
-            )
-            loss = jnp.mean(jnp.square(preds - labels))
-            return loss, mut["batch_stats"]
-
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
+        (loss, new_stats), grads = grad_fn(
+            state.params, state.batch_stats, batch, labels, dropout_rng
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)

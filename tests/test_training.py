@@ -1344,6 +1344,37 @@ def test_train_cli_grad_accum_e2e(tmp_path, capsys):
     assert epochs == [1, 2, 3]
 
 
+def test_resume_prefeature_run_defaults_grad_accum_to_one(tmp_path, capsys):
+    """A run dir whose params.txt predates --grad_accum (no key recorded)
+    trained with effective accumulation 1 — resuming it with --grad_accum 4
+    must adopt 1, not silently switch the trajectory semantics mid-run."""
+    from crosstalk_tpu.cli.train import main as train_main
+
+    mixed_dir, source_dir = make_synthetic_dataset(
+        str(tmp_path), n=12, size=64, seed=16)
+    rc = train_main([
+        "-m", mixed_dir, "-s", source_dir, "-b", "8", "-l", "1e-3", "-n", "1",
+        "-j", "2", "-o", "single", "--output_base", str(tmp_path),
+        "--num_devices", "1",
+    ])
+    assert rc == 0
+    (run_dir,) = glob.glob(os.path.join(str(tmp_path), "training_run_*"))
+    params_path = os.path.join(run_dir, "params.txt")
+    with open(params_path) as f:
+        lines = [l for l in f if not l.startswith("grad_accum: ")]
+    with open(params_path, "w") as f:
+        f.writelines(lines)
+
+    capsys.readouterr()
+    rc = train_main([
+        "-m", mixed_dir, "-s", source_dir, "-n", "2",
+        "-j", "2", "-o", "single", "--output_base", str(tmp_path),
+        "--num_devices", "1", "--resume", run_dir, "--grad_accum", "4",
+    ])
+    assert rc == 0
+    assert "grad_accum=1" in capsys.readouterr().out
+
+
 def test_train_cli_grad_accum_rejects_nondividing_batch(tmp_path, capsys):
     from crosstalk_tpu.cli.train import main as train_main
 
