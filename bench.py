@@ -82,9 +82,13 @@ def bench_model(variant: str, infer_batch: int, train_batch: int, mesh=None,
 
     n_dev = 1 if mesh is None else mesh.devices.size
     cfg = ModelConfig(variant=variant, compute_dtype="bf16")
-    model = build_model(cfg)
-    variables = init_model(model, jax.random.key(0), image_size=image_size,
-                           batch=2)
+    # under a mesh the train program must be the production one: BN layers
+    # psum batch statistics over the axis (init still uses an axis-free
+    # model — it traces outside shard_map where the axis is unbound)
+    model = (build_model(cfg) if mesh is None
+             else build_model(cfg, axis_name="data"))
+    variables = init_model(build_model(cfg), jax.random.key(0),
+                           image_size=image_size, batch=2)
 
     SCAN_LEN = 16 if scan_len is None else scan_len
     # longer scan amortizes the fixed scan-entry cost
@@ -246,8 +250,9 @@ def main(argv=None) -> None:
         mesh=mesh, scan_len=args.scan_len, image_size=args.image_size
     )
     if args.skip_double:
-        tb_infer = tb_train = 0.0
-        tb_ib = tb_tb = 0
+        # None -> JSON null: unambiguously "not measured", never mistaken
+        # for a measured collapse to 0.0 by round-over-round comparisons
+        tb_infer = tb_train = tb_ib = tb_tb = None
     else:
         # two-branch train batch 128: the 137M-param Adam update + head
         # weight-gradient HBM traffic amortize with batch (B=64: 804 tiles/s,
@@ -267,8 +272,10 @@ def main(argv=None) -> None:
         "vs_baseline": round(value / 5000.0, 3),
         "infer_tps": round(infer_tps / n_dev, 1),
         "train_tps": round(train_tps / n_dev, 1),
-        "two_branch_infer_tps": round(tb_infer / n_dev, 1),
-        "two_branch_train_tps": round(tb_train / n_dev, 1),
+        "two_branch_infer_tps": (None if tb_infer is None
+                                 else round(tb_infer / n_dev, 1)),
+        "two_branch_train_tps": (None if tb_train is None
+                                 else round(tb_train / n_dev, 1)),
         "infer_batch": infer_batch,
         "train_batch": train_batch,
         "two_branch_infer_batch": tb_ib,
@@ -279,8 +286,10 @@ def main(argv=None) -> None:
         result["num_devices"] = n_dev
         result["infer_tps_global"] = round(infer_tps, 1)
         result["train_tps_global"] = round(train_tps, 1)
-        result["two_branch_infer_tps_global"] = round(tb_infer, 1)
-        result["two_branch_train_tps_global"] = round(tb_train, 1)
+        result["two_branch_infer_tps_global"] = (
+            None if tb_infer is None else round(tb_infer, 1))
+        result["two_branch_train_tps_global"] = (
+            None if tb_train is None else round(tb_train, 1))
         if jax.devices()[0].platform == "cpu":
             result["note"] = ("virtual CPU mesh: validates the sharded "
                               "programs only; rates are NOT meaningful")

@@ -214,12 +214,16 @@ def main(argv=None) -> int:
         # continued CSV) and the schedule silently changes. -n stays from
         # the invocation: it is the (extendable) total-epoch target.
         original = artifacts.read_params_txt(args.resume)
-        # run dirs that predate --grad_accum recorded no key; their
-        # effective accumulation was 1 — adopt it like any other identity
-        # hyperparameter so resuming with --grad_accum N can't silently
-        # switch the run's accumulation semantics
+        # run dirs that predate an identity flag recorded no key for it;
+        # their effective value was the flag's default — adopt that like
+        # any recorded hyperparameter, so resuming an old run with
+        # --grad_accum N / --dropout X can't silently switch the run's
+        # training semantics
         if original:
             original.setdefault("grad_accum", "1")
+            original.setdefault("dropout", "None")
+            original.setdefault("initial_filters", "None")
+            original.setdefault("num_conv_blocks", "None")
         adopted = []
 
         def _opt_int(v):  # "None" <-> flag left at its default

@@ -101,25 +101,33 @@ def save_checkpoint(run_dir: str, state, meta: dict) -> str:
     return ckpt_dir
 
 
+def _read_header(f, path: str) -> dict:
+    """Parse magic + meta-length + JSON meta from an open file, leaving the
+    position at the first state byte. O(KB) I/O regardless of state size."""
+    if f.read(len(_MAGIC)) != _MAGIC:
+        raise ValueError(f"{path}: not a crosstalk checkpoint (bad magic)")
+    raw_len = f.read(_LEN.size)
+    if len(raw_len) < _LEN.size:
+        raise ValueError(f"{path}: truncated header")
+    (meta_len,) = _LEN.unpack(raw_len)
+    raw_meta = f.read(meta_len)
+    if len(raw_meta) < meta_len:
+        raise ValueError(f"{path}: truncated meta block")
+    return json.loads(raw_meta.decode("utf-8"))
+
+
 def _read_ckpt_file(path: str) -> Tuple[dict, bytes]:
     """Parse one single-file checkpoint -> (meta, state_bytes).
 
+    The state is read into ONE buffer (no whole-file read + slice copy —
+    that doubled peak host memory on every 1.6 GB two-branch resume).
     Raises ValueError on bad magic, truncation, or state-digest mismatch —
     all impossible via the atomic writer, so any of them means on-disk
-    corruption (caller falls back to the previous generation)."""
+    corruption (caller falls back to the previous generation). A file
+    truncated inside the state region fails the digest check."""
     with open(path, "rb") as f:
-        blob = f.read()
-    if not blob.startswith(_MAGIC):
-        raise ValueError(f"{path}: not a crosstalk checkpoint (bad magic)")
-    off = len(_MAGIC)
-    if len(blob) < off + _LEN.size:
-        raise ValueError(f"{path}: truncated header")
-    (meta_len,) = _LEN.unpack_from(blob, off)
-    off += _LEN.size
-    if len(blob) < off + meta_len:
-        raise ValueError(f"{path}: truncated meta block")
-    meta = json.loads(blob[off:off + meta_len].decode("utf-8"))
-    data = blob[off + meta_len:]
+        meta = _read_header(f, path)
+        data = f.read()
     expect = meta.get("state_sha256")
     if expect is not None and hashlib.sha256(data).hexdigest() != expect:
         raise ValueError(f"{path}: state bytes do not match the embedded "
@@ -128,23 +136,12 @@ def _read_ckpt_file(path: str) -> Tuple[dict, bytes]:
 
 
 def _read_ckpt_meta_only(path: str) -> dict:
-    """Header + JSON meta via seeks — O(KB) I/O regardless of state size.
-
-    Does NOT read or digest-verify the state bytes (that work belongs to
-    ``load_checkpoint``; a meta poll against the ~1.6 GB two-branch
-    checkpoint must not read the whole file — the training-status watchers
-    poll this every fraction of a second)."""
+    """Header + JSON meta only — does NOT read or digest-verify the state
+    bytes (that work belongs to ``load_checkpoint``; a meta poll against
+    the ~1.6 GB two-branch checkpoint must not read the whole file — the
+    training-status watchers poll this every fraction of a second)."""
     with open(path, "rb") as f:
-        if f.read(len(_MAGIC)) != _MAGIC:
-            raise ValueError(f"{path}: not a crosstalk checkpoint (bad magic)")
-        raw_len = f.read(_LEN.size)
-        if len(raw_len) < _LEN.size:
-            raise ValueError(f"{path}: truncated header")
-        (meta_len,) = _LEN.unpack(raw_len)
-        raw_meta = f.read(meta_len)
-        if len(raw_meta) < meta_len:
-            raise ValueError(f"{path}: truncated meta block")
-        return json.loads(raw_meta.decode("utf-8"))
+        return _read_header(f, path)
 
 
 def read_checkpoint_meta(run_dir: str) -> Optional[dict]:
@@ -159,10 +156,15 @@ def read_checkpoint_meta(run_dir: str) -> Optional[dict]:
         except (OSError, ValueError):
             continue
     meta_path = os.path.join(ckpt_dir, META_FILE)  # legacy two-file format
-    if os.path.exists(meta_path):
+    try:
+        # tolerant like the single-file branches: a corrupt/vanishing legacy
+        # sidecar means "no readable meta" to a status poller, not a crash
+        # (json.JSONDecodeError is a ValueError; the exists()/open() race
+        # shows up as FileNotFoundError)
         with open(meta_path) as f:
             return json.load(f)
-    return None
+    except (OSError, ValueError):
+        return None
 
 
 class AsyncCheckpointWriter:

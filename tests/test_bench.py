@@ -49,3 +49,7 @@ def test_bench_single_device_json_contract(capsys):
                 "device"):
         assert key in result, key
     assert "num_devices" not in result  # single-chip contract unchanged
+    # --skip_double reports null ("not measured"), never a fake 0.0 that a
+    # round-over-round comparison could read as a measured collapse
+    assert result["two_branch_infer_tps"] is None
+    assert result["two_branch_train_tps"] is None
