@@ -1035,6 +1035,77 @@ def test_corrupt_checkpoint_falls_back_to_previous_generation(tmp_path):
         load_checkpoint(run_dir, template)
 
 
+def test_checkpoint_reader_corruption_fuzz(tmp_path):
+    """Exhaustive-ish corruption fuzz of the checkpoint read path: for
+    truncations at boundaries and random offsets, plus random bit flips in
+    every region (magic, length, meta JSON, state bytes), the contract is
+    - load_checkpoint: previous-generation fallback while one generation is
+      readable, ValueError when none is — NEVER any other exception type;
+    - read_checkpoint_meta: a dict or None — NEVER an exception."""
+    import jax.numpy as jnp
+
+    from crosstalk_tpu.io.checkpoint import (
+        CKPT_DIR, CKPT_FILE, PREV_FILE, load_checkpoint,
+        read_checkpoint_meta, save_checkpoint,
+    )
+
+    run_dir = str(tmp_path)
+    template = {"w": jnp.zeros(64)}
+    save_checkpoint(run_dir, {"w": jnp.arange(64.0)}, {"epoch": 1})
+    save_checkpoint(run_dir, {"w": jnp.arange(64.0) + 1}, {"epoch": 2})
+    ckpt = os.path.join(run_dir, CKPT_DIR, CKPT_FILE)
+    prev = os.path.join(run_dir, CKPT_DIR, PREV_FILE)
+    good = open(ckpt, "rb").read()
+    good_prev = open(prev, "rb").read()
+
+    def restore():
+        with open(ckpt, "wb") as f:
+            f.write(good)
+        with open(prev, "wb") as f:
+            f.write(good_prev)
+
+    rng = np.random.default_rng(4)
+    # boundary truncations (empty, mid-magic, mid-length, meta edge) plus
+    # random cut points, and bit flips at random offsets
+    cuts = [0, 3, len(b"CTPUCKPT1\n"), len(b"CTPUCKPT1\n") + 4,
+            len(good) - 1] + sorted(rng.integers(1, len(good), 12).tolist())
+    for cut in cuts:
+        restore()
+        with open(ckpt, "wb") as f:
+            f.write(good[:cut])
+        meta = read_checkpoint_meta(run_dir)
+        assert meta is None or isinstance(meta, dict)
+        got, meta = load_checkpoint(run_dir, template)  # prev still good
+        assert meta["epoch"] == 1
+    for off in rng.integers(0, len(good), 16).tolist():
+        restore()
+        blob = bytearray(good)
+        blob[off] ^= 0xFF
+        with open(ckpt, "wb") as f:
+            f.write(bytes(blob))
+        meta = read_checkpoint_meta(run_dir)
+        assert meta is None or isinstance(meta, dict)
+        try:
+            got, meta = load_checkpoint(run_dir, template)
+        except ValueError:
+            # possible only when the flip lands in prev too — it can't here
+            raise AssertionError("fallback generation was not used")
+        # a flip inside the meta JSON may corrupt recorded fields while the
+        # digest (of state bytes only) still passes — epoch is then arbitrary,
+        # but the STATE must deserialize; flips elsewhere fall back to prev
+        assert np.asarray(got["w"]).shape == (64,)
+    # both generations corrupted in the state region -> loud ValueError
+    restore()
+    for path, blob in ((ckpt, good), (prev, good_prev)):
+        b = bytearray(blob)
+        b[-1] ^= 0xFF
+        with open(path, "wb") as f:
+            f.write(bytes(b))
+    with pytest.raises(ValueError, match="unreadable"):
+        load_checkpoint(run_dir, template)
+    assert read_checkpoint_meta(run_dir) is not None  # meta itself is intact
+
+
 def test_checkpoint_kill_any_instant(tmp_path):
     """Random-instant SIGKILL stress: a writer process saves checkpoints in
     a tight loop; the parent kills it at a random moment, repeatedly. After
