@@ -134,18 +134,48 @@ class TileStore:
         if not os.path.exists(path):
             first = read_tile(self.samples[0].mixed_path)
             shape = (len(self.samples), *first.shape, 2)
-            tmp = path + ".tmp"
-            arr = np.lib.format.open_memmap(
-                tmp, mode="w+", dtype=np.float32, shape=shape
-            )
-            load_tiles(self.samples, jobs=jobs, out=arr)
-            arr.flush()
-            del arr
-            os.replace(tmp, path)
+            # per-process tmp name: concurrent creators (multi-host training,
+            # two CLI runs over one --cache_dir) must not truncate each
+            # other's open memmap or race the final rename — each builds its
+            # own file and the atomic replace makes the last writer win with
+            # identical bytes (the cache is a pure function of the file set)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            try:
+                arr = np.lib.format.open_memmap(
+                    tmp, mode="w+", dtype=np.float32, shape=shape
+                )
+                load_tiles(self.samples, jobs=jobs, out=arr)
+                arr.flush()
+                del arr
+                os.replace(tmp, path)
+            finally:
+                if os.path.exists(tmp):  # failed build: no stale tmp litter
+                    os.remove(tmp)
         self.tiles = np.load(path, mmap_mode="r")
 
     def __len__(self) -> int:
         return len(self.samples)
+
+
+def _epoch_index_batches(n, batch_size, shuffle, drop_last, seed, epoch):
+    """The ONE definition of epoch batch order: SeedSequence([seed, epoch])
+    permutation, drop-last cut, index-0 zero-padding of the tail. Host-
+    (``iterate_batches``) and device-resident (``DeviceDataset.batches``)
+    training must walk identical sequences — asserted in
+    tests/test_tiff_and_pipeline.py; keep this shared, never fork it.
+    Yields ``(idx[batch_size], real_rows)``."""
+    order = np.arange(n)
+    if shuffle:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+        rng.shuffle(order)
+    end = (n // batch_size) * batch_size if drop_last else n
+    for start in range(0, end, batch_size):
+        idx = order[start : start + batch_size]
+        real = len(idx)
+        if real < batch_size:  # pad-and-mask the tail (static shapes)
+            pad = np.zeros(batch_size - real, dtype=idx.dtype)
+            idx = np.concatenate([idx, pad])
+        yield idx, real
 
 
 def iterate_batches(
@@ -182,24 +212,14 @@ def iterate_batches(
     slice). Decode/copy CPU and touched RAM per host then scale with
     1/num_processes. Labels/ids/mask are tiny and stay full.
     """
-    n = len(store)
-    order = np.arange(n)
-    if shuffle:
-        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
-        rng.shuffle(order)
-
     pool = (
         cf.ThreadPoolExecutor(assembly_threads)
         if assembly_threads > 1 else None
     )
     try:
-        end = (n // batch_size) * batch_size if drop_last else n
-        for start in range(0, end, batch_size):
-            idx = order[start : start + batch_size]
-            real = len(idx)
-            if real < batch_size:  # pad-and-mask the tail
-                pad = np.zeros(batch_size - real, dtype=idx.dtype)
-                idx = np.concatenate([idx, pad])
+        for idx, real in _epoch_index_batches(
+            len(store), batch_size, shuffle, drop_last, seed, epoch
+        ):
             # row-wise copies (numpy fancy-indexing on a memmap degrades to
             # per-element gathers), walked in sorted-source order
             if assemble_rows is None:
@@ -298,19 +318,9 @@ class DeviceDataset:
         """
         import jax.numpy as jnp
 
-        n = self.n
-        order = np.arange(n)
-        if shuffle:
-            rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
-            rng.shuffle(order)
-        end = (n // batch_size) * batch_size if drop_last else n
-        for start in range(0, end, batch_size):
-            idx = order[start : start + batch_size]
-            real = len(idx)
-            if real < batch_size:
-                idx = np.concatenate(
-                    [idx, np.zeros(batch_size - real, dtype=idx.dtype)]
-                )
+        for idx, real in _epoch_index_batches(
+            self.n, batch_size, shuffle, drop_last, seed, epoch
+        ):
             inputs, labels = self._gather(
                 self.tiles, self.labels, jnp.asarray(idx)
             )

@@ -210,10 +210,10 @@ def evaluate_and_save(
         return loss
     print(f"Final {dataset_name.capitalize()} Loss: {loss:.6f}")
 
-    if train_suffix is not None:
-        csv_name = f"{dataset_name}_predictions_{train_suffix}.csv"
-    else:
-        csv_name = f"{dataset_name}_predictions_{ts}.csv"
+    # suffix for artifact names: the training run's {ts}_{bs}_{lr} when
+    # given, else the eval timestamp — never the literal string "None"
+    suffix = train_suffix if train_suffix is not None else ts
+    csv_name = f"{dataset_name}_predictions_{suffix}.csv"
     fieldnames = artifacts.EVAL_FIELDNAMES if with_metrics else artifacts.TRAIN_FIELDNAMES
     artifacts.write_predictions_csv(os.path.join(output_dir, csv_name), rows, fieldnames)
 
@@ -225,6 +225,6 @@ def evaluate_and_save(
                 output_dir,
                 rows,
                 dataset_name,
-                f"{dataset_name}_predictions_plot_{train_suffix}.png",
+                f"{dataset_name}_predictions_plot_{suffix}.png",
             )
     return loss

@@ -241,20 +241,25 @@ class DynamicBatcher:
         # at batch_size; an overfull backlog just spans several dispatches).
         rows = min(sum(p.remaining for p in backlog), self._batch_size)
         size = next(b for b in self._buckets if b >= rows)
-        batch = np.zeros((size,) + self._tile_shape, self._dtype)
         took = []  # (pending, dst_start, src_start, n)
-        filled = 0
-        while backlog and filled < size:
-            p = backlog[0]
-            n = min(p.remaining, size - filled)
-            batch[filled : filled + n] = p.tiles[p.done : p.done + n]
-            took.append((p, filled, p.done, n))
-            p.done += n
-            filled += n
-            if p.remaining == 0:
-                backlog.popleft()
-        t0 = time.monotonic()
         try:
+            # batch ASSEMBLY is inside the guard too: an unexpected failure
+            # here (e.g. MemoryError on the 33 MB batch buffer under
+            # pressure) must resolve the touched Futures, not kill the
+            # dispatcher thread and strand every queued request while
+            # /healthz stays green
+            batch = np.zeros((size,) + self._tile_shape, self._dtype)
+            filled = 0
+            while backlog and filled < size:
+                p = backlog[0]
+                n = min(p.remaining, size - filled)
+                batch[filled : filled + n] = p.tiles[p.done : p.done + n]
+                took.append((p, filled, p.done, n))
+                p.done += n
+                filled += n
+                if p.remaining == 0:
+                    backlog.popleft()
+            t0 = time.monotonic()
             preds = np.asarray(self._predict(batch), np.float32).reshape(-1)
             if preds.shape[0] != size:
                 raise RuntimeError(
@@ -267,6 +272,13 @@ class DynamicBatcher:
                     p.future.set_exception(e)
                 if p in backlog:  # drop its unscheduled rows — the request
                     backlog.remove(p)  # is already resolved
+            if not took and backlog:
+                # nothing was assembled (the buffer allocation itself
+                # failed): fail the oldest request so a persistent error
+                # drains the backlog instead of hot-looping on it
+                p = backlog.popleft()
+                if not p.future.done():
+                    p.future.set_exception(e)
             return
         dt = time.monotonic() - t0
         for p, dst, src, n in took:

@@ -158,11 +158,25 @@ def _decode_request(
         )
     if tiles.dtype == transport_dtype:
         return tiles
-    if transport_dtype == np.float16 and tiles.dtype.itemsize > 2:
+    if transport_dtype == np.float16:
+        # EVERY non-f16 payload goes through the rescale-then-cast wire
+        # transform — a direct cast would overflow raw integer counts
+        # (uint16 65535 -> inf -> NaN predictions with HTTP 200) and
+        # coarsely quantize anything above 2048
         from crosstalk_tpu.serve.wire import to_f16_wire
 
         return to_f16_wire(tiles, (1, 2))
-    return np.asarray(tiles, transport_dtype)
+    with np.errstate(over="ignore"):  # overflow is detected, not a warning
+        out = np.asarray(tiles, transport_dtype)
+    if out.dtype.kind == "f" and not np.isfinite(out).all():
+        # e.g. float64 values beyond float32 range: finite before the
+        # cast, inf after it — reject like any other non-finite payload
+        raise ValueError(
+            "tiles overflow the server transport dtype "
+            f"({np.dtype(transport_dtype).name}); rescale the payload or "
+            "send smaller magnitudes"
+        )
+    return out
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -399,16 +413,23 @@ class CrosstalkServer:
         return self._httpd.server_address
 
     def serve_forever(self) -> None:
+        self._started = True
         self._httpd.serve_forever()
 
     def start_background(self) -> None:
+        self._started = True
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, name="crosstalk-http", daemon=True
         )
         self._thread.start()
 
     def shutdown(self) -> None:
-        self._httpd.shutdown()
+        # BaseServer.shutdown() waits on an event that only a running
+        # serve_forever() loop ever sets — calling it on a constructed but
+        # never-started server (e.g. from a cleanup block after a failed
+        # setup step) would block forever
+        if getattr(self, "_started", False):
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join()

@@ -133,6 +133,30 @@ def test_batcher_error_propagates_and_recovers():
         b.close()
 
 
+def test_batcher_assembly_failure_resolves_futures():
+    """An unexpected failure in batch ASSEMBLY (before predict_fn runs)
+    resolves the queued futures with the error instead of killing the
+    dispatcher thread — a dead dispatcher would strand every later request
+    at its full timeout while /healthz stays green."""
+    b = DynamicBatcher(_mean_predict, batch_size=4, tile_shape=TILE,
+                       max_delay_ms=200.0)
+    try:
+        fut = b.submit(np.ones((2,) + TILE, np.float32))
+        # poison the buffer allocation inside the 200 ms coalescing window
+        # (2 < batch_size rows, so the dispatcher waits out the deadline)
+        b._tile_shape = (-1,) + TILE[1:]
+        with pytest.raises(Exception):
+            fut.result(timeout=30)
+        b._tile_shape = TILE  # heal — the dispatcher must still be alive
+        tiles = np.random.default_rng(3).random((2,) + TILE).astype(np.float32)
+        np.testing.assert_allclose(
+            b.submit(tiles).result(timeout=30), _mean_predict(tiles),
+            rtol=1e-6,
+        )
+    finally:
+        b.close()
+
+
 @pytest.mark.parametrize("bucket_sizes", [None, [3, 5]])
 def test_batcher_randomized_stress(bucket_sizes):
     """Adversarial interleaving: 12 threads, random request sizes (1..19,
@@ -554,6 +578,55 @@ def test_http_request_limits(running_server):
     # the main server is still healthy after all of the above
     with urllib.request.urlopen(url + "/healthz", timeout=30) as resp:
         assert json.load(resp)["status"] == "ok"
+
+
+def test_decode_request_integer_and_overflow_payloads():
+    """Saturated 16-bit counts on a float16 transport go through the wire
+    rescale (a direct uint16 65535 -> f16 cast is inf -> NaN predictions
+    behind HTTP 200), and a float64 payload beyond float32 range is
+    rejected instead of passing inf to the device."""
+    from crosstalk_tpu.serve.server import _decode_request
+
+    counts = np.linspace(0, 65535, 32, dtype=np.float64)
+    tiles = np.broadcast_to(
+        counts[None, None, :, None], (1, 32, 32, 2)
+    ).astype(np.uint16)
+    buf = io.BytesIO()
+    np.savez(buf, tiles=tiles)
+    out = _decode_request(buf.getvalue(), (32, 32), max_tiles=16,
+                          transport_dtype=np.float16)
+    assert out.dtype == np.float16
+    f32 = out.astype(np.float32)
+    assert np.isfinite(f32).all()
+    # the rescale is a positive per-(tile, channel) affine map, so the
+    # device's min-max normalize recovers the same normalized tile
+    np.testing.assert_allclose(
+        (f32[0, :, :, 0] - f32[0, :, :, 0].min())
+        / (f32[0, :, :, 0].max() - f32[0, :, :, 0].min()),
+        (tiles[0, :, :, 0] - tiles[0, :, :, 0].min())
+        / np.ptp(tiles[0, :, :, 0].astype(np.float64)),
+        atol=2e-3,
+    )
+
+    big = np.full((1, 32, 32, 2), 1e39)  # finite in f64, inf after f32 cast
+    buf = io.BytesIO()
+    np.savez(buf, tiles=big)
+    with pytest.raises(ValueError, match="overflow"):
+        _decode_request(buf.getvalue(), (32, 32), max_tiles=16,
+                        transport_dtype=np.float32)
+
+
+def test_server_shutdown_before_start_returns():
+    """shutdown() on a constructed-but-never-started server returns instead
+    of blocking forever on the serve_forever event (cleanup paths call it)."""
+    from crosstalk_tpu.serve.server import CrosstalkServer
+
+    server = CrosstalkServer(_mean_predict, batch_size=2, image_size=32,
+                             port=0)
+    t = threading.Thread(target=server.shutdown, daemon=True)
+    t.start()
+    t.join(timeout=15)
+    assert not t.is_alive(), "shutdown() hung on a never-started server"
 
 
 def test_decode_request_malformed_bodies_raise_valueerror():
