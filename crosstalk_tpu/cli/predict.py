@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fast", action="store_true",
                         help="Use the bf16 serving path (folded-BN forward, "
                              "~6x faster; predictions within ~1e-4 of f32)")
+    parser.add_argument("--int8", action="store_true",
+                        help="Use the opt-in int8 MXU tier (fastest; "
+                             "prediction error OUTSIDE the 1e-4 parity "
+                             "budget — DEPLOY.md parity map). Activation "
+                             "ranges self-calibrate on the input tiles")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="Data-parallel device count for inference "
                              "(default: all visible devices)")
@@ -151,11 +156,28 @@ def _prepare_local(args):
         eff_batch += (-eff_batch) % n_dev  # mesh sharding divisibility
         on_tpu = device.platform in ("tpu", "axon")
         mesh = data_mesh(n_dev) if n_dev > 1 else None
+        use_pallas = (args.fast or args.int8) and on_tpu and n_dev == 1
+        int8_scales = None
+        if args.int8:
+            # Self-calibration: the input tiles ARE the serving
+            # distribution, so activation ranges come from a prefix of them.
+            from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+            from crosstalk_tpu.eval.int8_forward import calibrate_int8
+
+            calib = np.asarray(
+                normalize_batch_nhwc(tiles[: min(256, m)]), np.float32
+            )
+            print(f"Calibrating int8 activation ranges on "
+                  f"{calib.shape[0]} tiles...")
+            int8_scales = calibrate_int8(
+                model_cfg, variables, calib, use_pallas=use_pallas
+            )
         predict = make_predictor(
             variables, model_cfg, batch_size=eff_batch, image_size=h,
-            fast=args.fast, mesh=mesh,
-            use_pallas=(args.fast and on_tpu and n_dev == 1),
+            fast=args.fast or args.int8, mesh=mesh,
+            use_pallas=use_pallas,
             warmup=False,
+            int8_scales=int8_scales,
         )
         preds = np.empty((m,), dtype=np.float32)
         for start in range(0, m, eff_batch):
@@ -295,6 +317,15 @@ def main(argv=None) -> int:
         return 1
     if args.batch_size <= 0:
         print(f"Error: --batch_size must be positive, got {args.batch_size}")
+        return 1
+    if args.int8 and args.model_path is None:
+        print("Error: --int8 requires a local checkpoint (-p); servers "
+              "choose their own tier (--quantize on cli/serve) and AOT "
+              "artifacts are lowered on the bf16 path.")
+        return 1
+    if args.int8 and args.fast:
+        print("Error: --int8 and --fast are distinct serving tiers — "
+              "pass exactly one.")
         return 1
 
     try:

@@ -71,6 +71,27 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Serve the f32 checkpoint-parity forward instead "
                              "of the bf16 serving path (slower, ~1e-8 MAE "
                              "vs the reference)")
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8"],
+                        help="Serve the opt-in int8 MXU tier instead of "
+                             "bf16 (faster on FLOPs-bound chips; prediction "
+                             "error OUTSIDE the 1e-4 parity budget — see "
+                             "DEPLOY.md's parity map). Requires -p and "
+                             "--calibration_* dirs; incompatible with "
+                             "--parity")
+    parser.add_argument("--calibration_mixed_dir", type=str, default=None,
+                        help="--quantize int8: directory of mixed-channel "
+                             "tiles drawn from the serving distribution "
+                             "(paired with --calibration_source_dir by "
+                             "filename, labeled or unlabeled schema); the "
+                             "activation ranges are calibrated on up to "
+                             "--calibration_tiles of them at startup")
+    parser.add_argument("--calibration_source_dir", type=str, default=None,
+                        help="--quantize int8: directory of pure-source "
+                             "tiles paired with --calibration_mixed_dir")
+    parser.add_argument("--calibration_tiles", type=int, default=256,
+                        help="--quantize int8: max tile pairs used for "
+                             "activation-range calibration")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="Shard each batch over this many devices "
                              "(default 1; batch_size must divide it)")
@@ -108,6 +129,37 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _load_calibration_batch(args, image_size):
+    """Load, pair, decode, and normalize up to --calibration_tiles pairs
+    for int8 activation-range calibration. -> (n, px, px, 2) f32 normalized
+    array, or None (with a printed error)."""
+    from crosstalk_tpu.data.index import pair_unlabeled
+    from crosstalk_tpu.data.pipeline import load_tiles
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+
+    try:
+        index = pair_unlabeled(args.calibration_mixed_dir,
+                               args.calibration_source_dir)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"Error pairing calibration tiles: {e}")
+        return None
+    samples = index.samples[: args.calibration_tiles]
+    try:
+        tiles = load_tiles(samples, jobs=4)
+    except (ValueError, OSError) as e:
+        print(f"Error decoding calibration tiles: {e}")
+        return None
+    n, h, w, _ = tiles.shape
+    if h != image_size or w != image_size:
+        print(f"Error: calibration tiles are {h}x{w} but the server's tile "
+              f"size is {image_size}px — calibrate on tiles of the serving "
+              "shape (grid large acquisitions with cli/predict first).")
+        return None
+    import numpy as np
+
+    return np.asarray(normalize_batch_nhwc(tiles))
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -127,6 +179,28 @@ def main(argv=None) -> int:
 
     if bool(args.model_path) == bool(args.artifact):
         print("Error: pass exactly one of -p/--model_path or --artifact.")
+        return 1
+
+    if args.quantize is not None:
+        if not args.model_path:
+            print("Error: --quantize int8 requires a checkpoint (-p); AOT "
+                  "artifacts are lowered on the bf16 path.")
+            return 1
+        if args.parity:
+            print("Error: --quantize int8 and --parity are mutually "
+                  "exclusive (int8 is far outside the parity budget).")
+            return 1
+        if not (args.calibration_mixed_dir and args.calibration_source_dir):
+            print("Error: --quantize int8 requires --calibration_mixed_dir "
+                  "and --calibration_source_dir (tiles from the serving "
+                  "distribution to calibrate activation ranges on).")
+            return 1
+        if args.calibration_tiles <= 0:
+            print(f"Error: --calibration_tiles must be positive, got "
+                  f"{args.calibration_tiles}")
+            return 1
+    elif args.calibration_mixed_dir or args.calibration_source_dir:
+        print("Error: --calibration_* dirs only apply with --quantize int8.")
         return 1
 
     buckets = None
@@ -275,16 +349,35 @@ def main(argv=None) -> int:
                       f"{n_dev} devices.")
                 return 1
         print(f"Using device: {device.platform}:{device.device_kind} x{n_dev}")
+        import numpy as np
+
+        calib_batch = None
+        int8_scales = None
+        if args.quantize == "int8":
+            calib_batch = _load_calibration_batch(args, image_size)
+            if calib_batch is None:
+                return 1
+            from crosstalk_tpu.eval.int8_forward import calibrate_int8
+
+            print(f"Calibrating int8 activation ranges on "
+                  f"{calib_batch.shape[0]} tile pairs...")
+            int8_scales = calibrate_int8(
+                model_cfg, variables, calib_batch,
+                use_pallas=device.platform in ("tpu", "axon") and n_dev == 1,
+            )
+
+        path_name = ("f32 parity" if args.parity
+                     else "int8 serving" if args.quantize
+                     else "bf16 serving")
         shapes = f"batch {batch_size}" + (
             f" + buckets {buckets}" if buckets else "")
-        print(f"Compiling serving program ({shapes}, "
-              f"{'f32 parity' if args.parity else 'bf16 serving'} path)...")
-        import numpy as np
+        print(f"Compiling serving program ({shapes}, {path_name} path)...")
 
         predict = make_predictor(
             variables, model_cfg, serve_sizes,
             image_size=image_size, fast=not args.parity, mesh=mesh,
             input_dtype=np.dtype(args.transport_dtype),
+            int8_scales=int8_scales,
         )
         from crosstalk_tpu.io.torch_convert import infer_model_size
 
@@ -293,7 +386,9 @@ def main(argv=None) -> int:
             **infer_model_size(variables, args.model_options),
             "checkpoint": args.model_path,
             "image_size": image_size,
-            "path": "f32-parity" if args.parity else "bf16-serving",
+            "path": ("f32-parity" if args.parity
+                     else "int8-serving" if args.quantize
+                     else "bf16-serving"),
             "batch_size": batch_size,
             "devices": n_dev,
             "transport_dtype": args.transport_dtype,
@@ -325,10 +420,22 @@ def main(argv=None) -> int:
                     f"candidate was trained at {new_px}px — restart the "
                     "server to change tile size"
                 )
+            new_scales = None
+            if calib_batch is not None:
+                # activation ranges depend on the weights upstream of each
+                # quantize point — recalibrate for the swapped-in checkpoint
+                from crosstalk_tpu.eval.int8_forward import calibrate_int8
+
+                new_scales = calibrate_int8(
+                    model_cfg, new_vars, calib_batch,
+                    use_pallas=(device.platform in ("tpu", "axon")
+                                and n_dev == 1),
+                )
             new_predict = make_predictor(
                 new_vars, model_cfg, serve_sizes,
                 image_size=image_size, fast=not args.parity, mesh=mesh,
                 input_dtype=np.dtype(args.transport_dtype),
+                int8_scales=new_scales,
             )
             return new_predict, {**model_info, "checkpoint": path}
 

@@ -1,0 +1,286 @@
+"""Opt-in int8 serving tier: post-training-quantized eval forward.
+
+The v5e MXU runs int8xint8->int32 convolutions 1.32-1.47x faster than bf16
+at this model's hot-block shapes (measured, ``tools/int8_probe.py`` +
+PERF_NOTES "int8 serving"), so a quantized tier buys real throughput on a
+FLOPs-bound serving path. Quantization error is far outside the <=1e-4 MAE
+parity budget the default paths honor, so — like the f16 wire — this tier
+is strictly opt-in, with its measured deviation published in the DEPLOY.md
+parity map.
+
+Scheme (standard symmetric post-training quantization):
+
+  * weights: per-output-channel symmetric int8, quantized in-graph from the
+    served f32 ``variables`` (no second checkpoint format; the requant cost
+    is <2% of a forward at serving batch sizes);
+  * activations: per-tensor symmetric int8 with static absmax calibration
+    (``calibrate_int8`` runs one representative batch through the bf16 path and
+    records the input absmax at every quantize point);
+  * each conv/dense computes in int8 with an int32 accumulator; the
+    dequantization constant folds into the already-folded BatchNorm affine,
+    so the epilogue (scale, bias, LeakyReLU, maxpool) costs exactly what
+    the bf16 path's does;
+  * the first conv block (1-2 input channels, ~0.1% of FLOPs) stays on the
+    bf16/Pallas path of ``fast_forward``; the final 128->1 dense stays f32.
+
+Same prediction contract as ``make_fast_forward``: fn(variables, x_nhwc)
+-> (B, 1) float32 alphas (reference models regression_model.py:58-61,
+two_branch_regression.py:85-100).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from crosstalk_tpu.config import ModelConfig
+from crosstalk_tpu.eval.fast_forward import (
+    _block_affine,
+    _conv_block_eval,
+    _dense_bn_eval,
+    _double_fused_input,
+    _pallas_gate,
+)
+from crosstalk_tpu.ops.pallas.input_block import fold_bn_affine, fused_input_block
+
+_BF16 = jnp.bfloat16
+
+
+def _quant_weight(k):
+    """Per-output-channel symmetric int8. k: (..., C_out) f32 ->
+    (k_q int8, sw f32 (C_out,)) with k ~= k_q * sw."""
+    absmax = jnp.max(jnp.abs(k.astype(jnp.float32)), axis=tuple(range(k.ndim - 1)))
+    sw = jnp.maximum(absmax, 1e-12) / 127.0
+    kq = jnp.clip(jnp.round(k.astype(jnp.float32) / sw), -127, 127).astype(jnp.int8)
+    return kq, sw
+
+
+def _quant_act(x, sx):
+    """Per-tensor symmetric int8 against the calibrated absmax ``sx``.
+    Inputs outside the calibration range saturate (standard PTQ)."""
+    qs = 127.0 / jnp.maximum(sx, 1e-12)
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * qs), -127, 127).astype(jnp.int8)
+
+
+def _conv_block_int8(x, sx, kernel, scale, bias, slope):
+    """conv3x3(int8) -> folded BN affine (dequant included) -> LeakyReLU ->
+    maxpool 2x2. Mirrors fast_forward._conv_block_eval's epilogue exactly."""
+    kq, sw = _quant_weight(kernel)
+    y = jax.lax.conv_general_dilated(
+        _quant_act(x, sx),
+        kq,
+        (1, 1),
+        ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    eff_scale = scale.astype(jnp.float32) * sw * (sx / 127.0)
+    y = (y.astype(jnp.float32) * eff_scale + bias.astype(jnp.float32)).astype(_BF16)
+    y = jnp.where(y >= 0, y, jnp.asarray(slope, _BF16) * y)
+    return jax.lax.reduce_window(
+        y,
+        jnp.asarray(-jnp.inf, _BF16),
+        jax.lax.max,
+        (1, 2, 2, 1),
+        (1, 2, 2, 1),
+        "VALID",
+    )
+
+
+def _dense_bn_int8(x, sx, block_params, block_stats, eps, slope):
+    dense = block_params["Dense_0"]
+    bn = block_params["BatchNorm_0"]
+    st = block_stats["BatchNorm_0"]
+    scale, bias = fold_bn_affine(
+        dense["bias"], bn["scale"], bn["bias"], st["mean"], st["var"], eps
+    )
+    kq, sw = _quant_weight(dense["kernel"])
+    y = jax.lax.dot_general(
+        _quant_act(x, sx),
+        kq,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (scale * sw * (sx / 127.0)) + bias
+    return jnp.where(y >= 0, y, slope * y)
+
+
+def _branch_int8(x, params, stats, scales, prefix, eps, slope):
+    """Conv blocks 1..n-1 of one branch in int8 (block 0 is handled by the
+    caller on the bf16/Pallas path)."""
+    n = 0
+    while f"ConvBlock_{n}" in params:
+        n += 1
+    for i in range(1, n):
+        kernel, scale, bias = _block_affine(
+            params[f"ConvBlock_{i}"], stats[f"ConvBlock_{i}"], eps
+        )
+        x = _conv_block_int8(x, scales[f"{prefix}{i}"], kernel, scale, bias, slope)
+    return x
+
+
+def _first_blocks(variant, variables, x, eps, slope, use_pallas, interpret):
+    """Block 0 on the default bf16/Pallas path -> activations entering the
+    quantized region. For 'double' returns the concatenation input halves."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    if variant == "double":
+        kb0 = params["bleed_branch"]["ConvBlock_0"]["Conv_0"]["kernel"]
+        ks0 = params["source_branch"]["ConvBlock_0"]["Conv_0"]["kernel"]
+        if (
+            kb0.shape == ks0.shape
+            and kb0.shape[2] == 1
+            and _pallas_gate(x, 2 * kb0.shape[-1], use_pallas)
+        ):
+            return _double_fused_input(x, params, stats, eps, slope, interpret)
+        outs = []
+        for ch, branch in ((0, "bleed_branch"), (1, "source_branch")):
+            kernel, scale, bias = _block_affine(
+                params[branch]["ConvBlock_0"], stats[branch]["ConvBlock_0"], eps
+            )
+            outs.append(
+                _conv_block_eval(x[..., ch : ch + 1], kernel, scale, bias, slope)
+            )
+        return tuple(outs)
+    kernel, scale, bias = _block_affine(
+        params["ConvBlock_0"], stats["ConvBlock_0"], eps
+    )
+    if _pallas_gate(x, kernel.shape[-1], use_pallas):
+        return fused_input_block(
+            x, kernel, scale, bias, slope=slope, interpret=interpret
+        )
+    return _conv_block_eval(x, kernel, scale, bias, slope)
+
+
+def calibrate_int8(
+    cfg: ModelConfig,
+    variables,
+    batch,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """Run one representative batch through the bf16 serving path and record
+    the input absmax at every int8 quantize point.
+
+    -> dict[str, float] of scales, the ``scales`` argument of
+    ``make_int8_forward``. Calibrate on data drawn from the serving
+    distribution (e.g. a few hundred normalized tiles); absmax calibration
+    saturates anything larger at inference time.
+    """
+    eps, slope, variant = cfg.bn_eps, cfg.leaky_slope, cfg.variant
+
+    def run(variables, x):
+        params = variables["params"]
+        stats = variables["batch_stats"]
+        scales: dict[str, jax.Array] = {}
+
+        def record(name, h):
+            scales[name] = jnp.max(jnp.abs(h.astype(jnp.float32)))
+            return h
+
+        if variant == "double":
+            bleed, source = _first_blocks(
+                variant, variables, x, eps, slope, use_pallas, interpret
+            )
+            for prefix, h, branch in (
+                ("bleed_", bleed, "bleed_branch"),
+                ("source_", source, "source_branch"),
+            ):
+                n = 1
+                while f"ConvBlock_{n}" in params[branch]:
+                    kernel, scale, bias = _block_affine(
+                        params[branch][f"ConvBlock_{n}"],
+                        stats[branch][f"ConvBlock_{n}"],
+                        eps,
+                    )
+                    record(f"{prefix}{n}", h)
+                    h = _conv_block_eval(h, kernel, scale, bias, slope)
+                    n += 1
+                if prefix == "bleed_":
+                    bleed = h
+                else:
+                    source = h
+            h = jnp.concatenate([bleed, source], axis=-1)
+        else:
+            h = _first_blocks(variant, variables, x, eps, slope, use_pallas, interpret)
+            n = 1
+            while f"ConvBlock_{n}" in params:
+                kernel, scale, bias = _block_affine(
+                    params[f"ConvBlock_{n}"], stats[f"ConvBlock_{n}"], eps
+                )
+                record(f"conv_{n}", h)
+                h = _conv_block_eval(h, kernel, scale, bias, slope)
+                n += 1
+        h = h.reshape(h.shape[0], -1)
+        for i in (0, 1):
+            record(f"dense_{i}", h)
+            h = _dense_bn_eval(
+                h, params[f"DenseBNBlock_{i}"], stats[f"DenseBNBlock_{i}"], eps, slope
+            )
+        return scales
+
+    # one compiled program: eager dispatch of each op through a remote
+    # relay (the axon serving environment) costs ~100 ms/op and makes an
+    # eager calibration pass minutes-slow
+    scales = jax.jit(run)(variables, jnp.asarray(batch))
+    return {k: float(v) for k, v in scales.items()}
+
+
+def make_int8_forward(
+    cfg: ModelConfig,
+    scales: dict[str, float],
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """-> jittable fn(variables, batch_nhwc) -> (B, 1) float32 predictions,
+    with every conv/dense after block 0 computed on the int8 MXU path.
+
+    ``scales`` comes from ``calibrate_int8`` (must match the model variant/depth:
+    missing keys raise KeyError at trace time). Accuracy is NOT within the
+    1e-4 parity budget — see DEPLOY.md's parity map for the measured
+    deviation before choosing this tier.
+    """
+    eps, slope, variant = cfg.bn_eps, cfg.leaky_slope, cfg.variant
+
+    def forward(variables, x):
+        params = variables["params"]
+        stats = variables["batch_stats"]
+        if variant == "double":
+            bleed, source = _first_blocks(
+                variant, variables, x, eps, slope, use_pallas, interpret
+            )
+            bleed = _branch_int8(
+                bleed, params["bleed_branch"], stats["bleed_branch"],
+                scales, "bleed_", eps, slope,
+            )
+            source = _branch_int8(
+                source, params["source_branch"], stats["source_branch"],
+                scales, "source_", eps, slope,
+            )
+            h = jnp.concatenate([bleed, source], axis=-1)
+        else:
+            h0 = _first_blocks(
+                variant, variables, x, eps, slope, use_pallas, interpret
+            )
+            h = _branch_int8(h0, params, stats, scales, "conv_", eps, slope)
+        h = h.reshape(h.shape[0], -1)
+        for i in (0, 1):
+            h = _dense_bn_int8(
+                h, scales[f"dense_{i}"],
+                params[f"DenseBNBlock_{i}"], stats[f"DenseBNBlock_{i}"],
+                eps, slope,
+            )
+        out = params["Dense_0"]
+        h = (
+            jnp.dot(
+                h.astype(_BF16),
+                out["kernel"].astype(_BF16),
+                preferred_element_type=jnp.float32,
+            )
+            + out["bias"]
+        )
+        if variant == "double":
+            h = jax.nn.sigmoid(h) * 0.5
+        return h.astype(jnp.float32)
+
+    return forward

@@ -46,13 +46,24 @@ _MAGIC = b"CTKX0002"
 
 
 def make_forward(model_cfg: ModelConfig, fast: bool = True,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, int8_scales=None):
     """-> fn(variables, raw (B,H,W,2) f32) -> (B,) f32: normalize + forward.
 
     The single definition of serving semantics — both the online predictor
     (serve/predictor.py) and the AOT export below build on it.
+    ``int8_scales`` (from ``eval.calibrate_int8``) selects the opt-in int8
+    MXU tier instead of the bf16 fast path — OUTSIDE the 1e-4 parity budget;
+    see DEPLOY.md's parity map.
     """
-    if fast:
+    if int8_scales is not None:
+        if not fast:
+            raise ValueError("int8_scales requires the fast serving path")
+        from crosstalk_tpu.eval.int8_forward import make_int8_forward
+
+        forward = make_int8_forward(
+            model_cfg, int8_scales, use_pallas=use_pallas
+        )
+    elif fast:
         from crosstalk_tpu.eval.fast_forward import make_fast_forward
 
         forward = make_fast_forward(model_cfg, use_pallas=use_pallas)

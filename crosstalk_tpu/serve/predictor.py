@@ -30,6 +30,7 @@ def make_predictor(
     use_pallas: Optional[bool] = None,
     warmup: bool = True,
     input_dtype=np.float32,
+    int8_scales=None,
 ) -> Callable[[np.ndarray], np.ndarray]:
     """-> fn((n, H, W, C) ``input_dtype`` np) -> (n,) f32 np.
 
@@ -45,6 +46,9 @@ def make_predictor(
     and upcast ON DEVICE — the host->device transfer (the serving-stack
     bottleneck on bandwidth-limited links, PERF_NOTES "Online serving
     stack") moves half the bytes; normalization still runs in f32.
+    ``int8_scales`` (from ``eval.calibrate_int8``) serves the opt-in int8
+    MXU tier — requires ``fast=True`` and is OUTSIDE the 1e-4 parity
+    budget (DEPLOY.md parity map).
     """
     import jax.numpy as jnp
 
@@ -61,7 +65,8 @@ def make_predictor(
     if use_pallas is None:
         platform = jax.devices()[0].platform
         use_pallas = (fast and platform in ("tpu", "axon") and mesh is None)
-    inner = make_forward(model_cfg, fast=fast, use_pallas=use_pallas)
+    inner = make_forward(model_cfg, fast=fast, use_pallas=use_pallas,
+                         int8_scales=int8_scales)
     if input_dtype == np.float32:
         step = inner
     else:

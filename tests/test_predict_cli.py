@@ -553,3 +553,55 @@ def test_predict_cli_fast_path_matches_parity_path(tmp_path):
             outs[label] = np.array(
                 [float(r["Predicted_Alpha"]) for r in csv.DictReader(f)])
     np.testing.assert_allclose(outs["fast"], outs["f32"], atol=5e-3)
+
+
+def test_predict_cli_int8_tier(tmp_path, capsys):
+    """--int8 self-calibrates on the input tiles and tracks the f32 path
+    within the int8 envelope (OUTSIDE the 1e-4 parity budget by design)."""
+    from crosstalk_tpu.cli.predict import main as predict_main
+
+    mixed, source = _dirs(tmp_path)
+    size = 32
+    rng = np.random.default_rng(6)
+    for i in range(4):
+        write_tile(os.path.join(mixed, f"t{i}_mixed.tif"),
+                   rng.random((size, size)))
+        write_tile(os.path.join(source, f"t{i}_source.tif"),
+                   rng.random((size, size)))
+    torch.manual_seed(3)
+    tmodel = TorchSingle(initial_filters=8, num_blocks=3, image_size=size)
+    burn_in_batch_stats(tmodel, size, steps=2)
+    ckpt = str(tmp_path / "model.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    outs = {}
+    for label, extra in (("f32", []), ("int8", ["--int8"])):
+        out_base = str(tmp_path / f"out_{label}")
+        rc = predict_main(["-m", mixed, "-s", source, "-p", ckpt,
+                           "--output_base", out_base] + extra)
+        assert rc == 0
+        csv_path = glob.glob(
+            os.path.join(out_base, "predict_run_*", "predictions_*.csv"))[0]
+        with open(csv_path) as f:
+            outs[label] = np.array(
+                [float(r["Predicted_Alpha"]) for r in csv.DictReader(f)])
+    assert "Calibrating int8" in capsys.readouterr().out
+    spread = max(float(np.ptp(outs["f32"])), 1e-3)
+    assert float(np.abs(outs["int8"] - outs["f32"]).mean()) < 0.15 * spread
+
+
+def test_predict_cli_int8_flag_validation(tmp_path, capsys):
+    from crosstalk_tpu.cli.predict import main as predict_main
+
+    mixed, source = _dirs(tmp_path)
+    _write_pair(mixed, source, "a_mixed.tif", "a_source.tif")
+    # --int8 needs a local checkpoint, not a server or artifact
+    rc = predict_main(["-m", mixed, "-s", source,
+                       "--url", "http://127.0.0.1:9", "--int8"])
+    assert rc == 1
+    assert "--int8 requires a local checkpoint" in capsys.readouterr().out
+    # --int8 and --fast are distinct tiers
+    rc = predict_main(["-m", mixed, "-s", source, "-p", "model.pth",
+                       "--int8", "--fast"])
+    assert rc == 1
+    assert "distinct serving tiers" in capsys.readouterr().out

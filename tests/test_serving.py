@@ -785,6 +785,21 @@ def test_serve_cli_flag_validation(tmp_path, capsys):
     assert "--image_size must be positive" in capsys.readouterr().out
     assert serve_main(["-p", "a.pth", "--image_size", "-4"]) == 1
     assert "--image_size must be positive" in capsys.readouterr().out
+    # --quantize int8 contract: checkpoint-only, parity-exclusive,
+    # calibration dirs required (and only meaningful with it)
+    assert serve_main(["--artifact", str(bad), "--quantize", "int8"]) == 1
+    assert "--quantize int8 requires a checkpoint" in capsys.readouterr().out
+    assert serve_main(["-p", "a.pth", "--quantize", "int8", "--parity"]) == 1
+    assert "mutually exclusive" in capsys.readouterr().out
+    assert serve_main(["-p", "a.pth", "--quantize", "int8"]) == 1
+    assert "requires --calibration_mixed_dir" in capsys.readouterr().out
+    assert serve_main(["-p", "a.pth", "--quantize", "int8",
+                       "--calibration_mixed_dir", "m",
+                       "--calibration_source_dir", "s",
+                       "--calibration_tiles", "0"]) == 1
+    assert "--calibration_tiles must be positive" in capsys.readouterr().out
+    assert serve_main(["-p", "a.pth", "--calibration_mixed_dir", "m"]) == 1
+    assert "only apply with --quantize" in capsys.readouterr().out
 
 
 def test_serve_cli_rejects_wrong_image_size(tmp_path, capsys):
@@ -900,6 +915,78 @@ def test_serve_cli_subprocess(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_serve_cli_int8_subprocess(tmp_path):
+    """Full --quantize int8 drive: calibration tiles load + pair at startup,
+    the int8 program serves, /healthz reports the tier, predictions track
+    the torch twin within the int8 envelope, and hot-reload recalibrates."""
+    torch = pytest.importorskip("torch")
+    from crosstalk_tpu.data.tiff import write_tile
+    from tests.torch_ref import TorchSingle, burn_in_batch_stats
+
+    size = 32
+    torch.manual_seed(12)
+    tmodel = burn_in_batch_stats(
+        TorchSingle(initial_filters=8, num_blocks=3, image_size=size),
+        size, steps=2)
+    ckpt = str(tmp_path / "model.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    calib_m = tmp_path / "calib_mixed"
+    calib_s = tmp_path / "calib_source"
+    calib_m.mkdir()
+    calib_s.mkdir()
+    rng = np.random.default_rng(13)
+    for i in range(8):
+        write_tile(str(calib_m / f"c{i}_mixed.tif"), rng.random((size, size)))
+        write_tile(str(calib_s / f"c{i}_source.tif"), rng.random((size, size)))
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "crosstalk_tpu.cli.serve",
+         "-p", ckpt, "-o", "single", "--port", "0",
+         "--batch_size", "4", "--quantize", "int8",
+         "--calibration_mixed_dir", str(calib_m),
+         "--calibration_source_dir", str(calib_s)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        url = None
+        saw_calibration = False
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            if not line and proc.poll() is not None:
+                raise AssertionError("serve CLI exited before listening")
+            if line.startswith("Calibrating int8"):
+                saw_calibration = True
+            if line.startswith("Serving on "):
+                url = line.split()[2]
+                break
+        assert url, "never saw the 'Serving on' line"
+        assert saw_calibration
+
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as resp:
+            health = json.load(resp)
+        assert health["path"] == "int8-serving"
+
+        mixed = rng.random((4, size, size), np.float64)
+        source = rng.random((4, size, size), np.float64)
+        out = _post_npz(url, mixed=mixed, source=source)
+        raw = np.stack([mixed, source], axis=-1).astype(np.float32)
+        lo = raw.min(axis=(1, 2), keepdims=True)
+        hi = raw.max(axis=(1, 2), keepdims=True)
+        norm = (raw - lo) / (hi - lo)
+        with torch.no_grad():
+            golden = tmodel(
+                torch.from_numpy(norm.transpose(0, 3, 1, 2))
+            ).numpy().ravel()
+        spread = max(float(np.ptp(golden)), 1e-3)
+        assert float(np.abs(out["alpha"] - golden).mean()) < 0.15 * spread
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            proc.wait(timeout=60)
 
 
 def test_hot_reload_endpoint():
