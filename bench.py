@@ -6,7 +6,8 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": N,
    "infer_tps": ..., "train_tps": ...,
-   "two_branch_infer_tps": ..., "two_branch_train_tps": ...}
+   "two_branch_infer_tps": ..., "two_branch_train_tps": ...,
+   "int8_infer_tps": ...}
 ``value`` is the headline single-branch inference throughput via the
 serving path (eval/fast_forward.py: folded-BN bf16 forward). The
 training-step rates are reported alongside (a v5e's bf16 peak bounds the
@@ -207,6 +208,62 @@ def bench_model(variant: str, infer_batch: int, train_batch: int, mesh=None,
     return infer_tps, train_tps, infer_batch, train_batch
 
 
+def bench_int8_single(infer_batch: int, scan_len: int = None,
+                      image_size: int = 256):
+    """Aux measurement: the opt-in int8 serving tier (eval/int8_forward.py)
+    on the single-branch flagship — the tier's winning family (two-branch
+    is a measured wash, PERF_NOTES "int8 serving"). Single-chip only.
+    OUTSIDE the 1e-4 parity budget by design, so it never feeds the
+    headline ``value``; it rides along so round-over-round BENCH records
+    track the tier. -> (tiles/s, batch)."""
+    import jax.numpy as jnp
+
+    from crosstalk_tpu.config import ModelConfig
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.eval.int8_forward import calibrate_int8, make_int8_forward
+    from crosstalk_tpu.models import build_model, init_model
+
+    cfg = ModelConfig(variant="single", compute_dtype="bf16")
+    variables = init_model(build_model(cfg), jax.random.key(0),
+                           image_size=image_size, batch=2)
+    INFER_SCAN_LEN = 32 if scan_len is None else scan_len
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    while True:
+        try:
+            rng = np.random.default_rng(3)
+            x = jnp.asarray(
+                rng.random((infer_batch, image_size, image_size,
+                            2)).astype(np.float32))
+            scales = calibrate_int8(
+                cfg, variables,
+                normalize_batch_nhwc(x[: min(256, infer_batch)]),
+                use_pallas=on_tpu,
+            )
+            quant = make_int8_forward(cfg, scales, use_pallas=on_tpu)
+
+            def infer_scan(variables, x):
+                def body(acc, i):
+                    # same hoist-proofing as the bf16 scan above
+                    xi = x + i.astype(jnp.float32) * 1e-9
+                    preds = quant(variables, normalize_batch_nhwc(xi))
+                    return acc + jnp.sum(preds), None
+
+                acc, _ = jax.lax.scan(body, jnp.zeros(()),
+                                      jnp.arange(INFER_SCAN_LEN))
+                return acc
+
+            infer_jit = jax.jit(infer_scan)
+            _sync(infer_jit(variables, x))  # compile + warm
+            dt = _timed(infer_jit, variables, x)
+            break
+        except Exception as e:  # pragma: no cover - OOM fallback
+            if "RESOURCE_EXHAUSTED" not in str(e) or infer_batch <= 16:
+                raise
+            infer_batch //= 2
+    return INFER_SCAN_LEN * infer_batch / dt, infer_batch
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
@@ -217,6 +274,10 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--skip_double", action="store_true",
         help="single-branch model only (faster mesh smoke runs)")
+    parser.add_argument(
+        "--skip_int8", action="store_true",
+        help="skip the auxiliary int8-tier measurement (it never feeds the "
+             "headline; single-chip runs only)")
     parser.add_argument(
         "--infer_batch", type=int, default=512,
         help="per-chip inference batch (default 512, the measured optimum)")
@@ -262,6 +323,12 @@ def main(argv=None) -> None:
             scan_len=args.scan_len, image_size=args.image_size
         )
 
+    int8_tps = int8_batch = None
+    if mesh is None and not args.skip_int8:
+        int8_tps, int8_batch = bench_int8_single(
+            args.infer_batch, scan_len=args.scan_len,
+            image_size=args.image_size)
+
     value = round(infer_tps / n_dev, 1)  # headline stays per-chip
     result = {
         "metric": "256x256 tiles/sec/chip, single-branch bf16 inference "
@@ -276,6 +343,11 @@ def main(argv=None) -> None:
                                  else round(tb_infer / n_dev, 1)),
         "two_branch_train_tps": (None if tb_train is None
                                  else round(tb_train / n_dev, 1)),
+        # aux: the opt-in int8 serving tier (outside the 1e-4 parity
+        # budget — DEPLOY.md parity map); null = not measured (mesh mode
+        # or --skip_int8), never a fake 0.0
+        "int8_infer_tps": None if int8_tps is None else round(int8_tps, 1),
+        "int8_infer_batch": int8_batch,
         "infer_batch": infer_batch,
         "train_batch": train_batch,
         "two_branch_infer_batch": tb_ib,

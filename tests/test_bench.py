@@ -21,6 +21,8 @@ def test_bench_mesh_mode_smoke(capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     result = json.loads(out)
     assert result["num_devices"] == 8
+    # the int8 tier is a single-chip aux measurement — mesh runs report null
+    assert result["int8_infer_tps"] is None
     assert result["infer_tps_global"] > 0
     assert result["train_tps_global"] > 0
     # global rate = 8 x per-chip rate by construction (both rounded to
@@ -46,10 +48,24 @@ def test_bench_single_device_json_contract(capsys):
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     for key in ("metric", "value", "unit", "vs_baseline", "infer_tps",
                 "train_tps", "two_branch_infer_tps", "two_branch_train_tps",
-                "device"):
+                "int8_infer_tps", "device"):
         assert key in result, key
     assert "num_devices" not in result  # single-chip contract unchanged
     # --skip_double reports null ("not measured"), never a fake 0.0 that a
     # round-over-round comparison could read as a measured collapse
     assert result["two_branch_infer_tps"] is None
     assert result["two_branch_train_tps"] is None
+    # the aux int8 tier runs by default on single-chip invocations (the
+    # driver's) so BENCH records track it round over round
+    assert result["int8_infer_tps"] > 0
+
+
+def test_bench_skip_int8(capsys):
+    from bench import main as bench_main
+
+    bench_main(["--skip_double", "--skip_int8", "--infer_batch", "1",
+                "--train_batch", "1", "--scan_len", "1",
+                "--image_size", "64"])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["int8_infer_tps"] is None
+    assert result["int8_infer_batch"] is None
