@@ -321,7 +321,8 @@ def main(argv=None) -> int:
     if args.int8 and args.model_path is None:
         print("Error: --int8 requires a local checkpoint (-p); servers "
               "choose their own tier (--quantize on cli/serve) and AOT "
-              "artifacts are lowered on the bf16 path.")
+              "artifacts bake their tier in at export time "
+              "(tools/export_model.py --quantize int8).")
         return 1
     if args.int8 and args.fast:
         print("Error: --int8 and --fast are distinct serving tiers — "

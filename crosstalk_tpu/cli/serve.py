@@ -133,31 +133,15 @@ def _load_calibration_batch(args, image_size):
     """Load, pair, decode, and normalize up to --calibration_tiles pairs
     for int8 activation-range calibration. -> (n, px, px, 2) f32 normalized
     array, or None (with a printed error)."""
-    from crosstalk_tpu.data.index import pair_unlabeled
-    from crosstalk_tpu.data.pipeline import load_tiles
-    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.eval.int8_forward import load_calibration_tiles
 
     try:
-        index = pair_unlabeled(args.calibration_mixed_dir,
-                               args.calibration_source_dir)
-    except (ValueError, FileNotFoundError) as e:
-        print(f"Error pairing calibration tiles: {e}")
+        return load_calibration_tiles(
+            args.calibration_mixed_dir, args.calibration_source_dir,
+            image_size, max_tiles=args.calibration_tiles)
+    except (ValueError, FileNotFoundError, OSError) as e:
+        print(f"Error loading calibration tiles: {e}")
         return None
-    samples = index.samples[: args.calibration_tiles]
-    try:
-        tiles = load_tiles(samples, jobs=4)
-    except (ValueError, OSError) as e:
-        print(f"Error decoding calibration tiles: {e}")
-        return None
-    n, h, w, _ = tiles.shape
-    if h != image_size or w != image_size:
-        print(f"Error: calibration tiles are {h}x{w} but the server's tile "
-              f"size is {image_size}px — calibrate on tiles of the serving "
-              "shape (grid large acquisitions with cli/predict first).")
-        return None
-    import numpy as np
-
-    return np.asarray(normalize_batch_nhwc(tiles))
 
 
 def main(argv=None) -> int:
@@ -183,8 +167,10 @@ def main(argv=None) -> int:
 
     if args.quantize is not None:
         if not args.model_path:
-            print("Error: --quantize int8 requires a checkpoint (-p); AOT "
-                  "artifacts are lowered on the bf16 path.")
+            print("Error: --quantize int8 requires a checkpoint (-p); to "
+                  "serve an int8 AOT artifact, export it with "
+                  "tools/export_model.py --quantize int8 (the tier is "
+                  "baked into the artifact).")
             return 1
         if args.parity:
             print("Error: --quantize int8 and --parity are mutually "

@@ -152,6 +152,34 @@ def _first_blocks(variant, variables, x, eps, slope, use_pallas, interpret):
     return _conv_block_eval(x, kernel, scale, bias, slope)
 
 
+def load_calibration_tiles(mixed_dir: str, source_dir: str,
+                           image_size: int, max_tiles: int = 256,
+                           jobs: int = 4):
+    """Pair, decode, and normalize up to ``max_tiles`` tile pairs for
+    activation-range calibration — the shared loader behind the serve CLI's
+    ``--calibration_*`` flags and the export tool's ``--quantize int8``.
+
+    -> (n, image_size, image_size, 2) f32 normalized array. Raises
+    ValueError (pairing / decode / shape problems) or FileNotFoundError.
+    """
+    import numpy as np
+
+    from crosstalk_tpu.data.index import pair_unlabeled
+    from crosstalk_tpu.data.pipeline import load_tiles
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+
+    index = pair_unlabeled(mixed_dir, source_dir)
+    samples = index.samples[:max_tiles]
+    tiles = load_tiles(samples, jobs=jobs)
+    n, h, w, _ = tiles.shape
+    if h != image_size or w != image_size:
+        raise ValueError(
+            f"calibration tiles are {h}x{w} but the serving tile size is "
+            f"{image_size}px — calibrate on tiles of the serving shape "
+            "(grid large acquisitions with cli/predict first)")
+    return np.asarray(normalize_batch_nhwc(tiles))
+
+
 def calibrate_int8(
     cfg: ModelConfig,
     variables,

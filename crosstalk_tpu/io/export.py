@@ -88,6 +88,7 @@ def export_serving_model(
     image_size: int = 256,
     fast: bool = True,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    int8_scales=None,
 ) -> Tuple[bytes, bytes]:
     """-> (stablehlo blob, weights npz bytes) for ``platforms``
     (cross-lowering: no TPU needs to be attached to export for one).
@@ -96,6 +97,12 @@ def export_serving_model(
     dimension — the artifact accepts any batch size, each distinct size
     compiling once at the deployment site; an int pins one static shape.
 
+    ``int8_scales`` (from ``eval.calibrate_int8``) lowers the opt-in int8
+    MXU tier instead of the bf16 serving path; the calibrated activation
+    scales bake into the program, so the artifact needs no calibration
+    data at the deployment site. OUTSIDE the 1e-4 parity budget — see
+    DEPLOY.md's parity map.
+
     The weight leaves are flattened in jax.tree deterministic order and
     passed to the exported program as a tuple argument; the npz stores them
     under keys ``w0..wN`` in that order."""
@@ -103,7 +110,7 @@ def export_serving_model(
 
     from jax import export as jexport
 
-    serve = make_forward(model_cfg, fast=fast)
+    serve = make_forward(model_cfg, fast=fast, int8_scales=int8_scales)
     leaves, treedef = jax.tree_util.tree_flatten(variables)
 
     def serve_flat(leaf_tuple, raw):

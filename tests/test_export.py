@@ -393,3 +393,114 @@ def test_serve_cli_artifact_subprocess(tmp_path, tiny_model):
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_export_int8_roundtrip(tmp_path, tiny_model):
+    """An int8-lowered artifact reproduces the live int8 forward and tracks
+    the f32 model within the tier's envelope — the calibrated activation
+    scales bake into the program (no calibration data at the load site)."""
+    from crosstalk_tpu.data.transforms import normalize_batch_nhwc
+    from crosstalk_tpu.eval.int8_forward import (
+        calibrate_int8,
+        make_int8_forward,
+    )
+    from crosstalk_tpu.io.export import (
+        export_serving_model,
+        load_exported,
+        save_exported,
+    )
+
+    cfg, model, variables = tiny_model
+    rng = np.random.default_rng(7)
+    raw = rng.random((4, 32, 32, 2), np.float32) * 3.0
+    calib = np.asarray(normalize_batch_nhwc(raw))
+    scales = calibrate_int8(cfg, variables, calib, use_pallas=False)
+
+    blob, weights = export_serving_model(
+        variables, cfg, batch_size=4, image_size=32, platforms=["cpu"],
+        int8_scales=scales)
+    path = str(tmp_path / "m8.ctkx")
+    save_exported(path, blob, weights, {"path": "int8-serving"})
+    fn, meta = load_exported(path)
+    assert meta["path"] == "int8-serving"
+
+    live = jax.jit(make_int8_forward(cfg, scales, use_pallas=False))
+    golden_live = np.asarray(live(variables, normalize_batch_nhwc(raw)))[:, 0]
+    np.testing.assert_allclose(fn(raw), golden_live, rtol=1e-5, atol=1e-5)
+
+    f32 = np.asarray(
+        model.apply(variables, normalize_batch_nhwc(raw), train=False))[:, 0]
+    spread = max(float(np.ptp(f32)), 1e-3)
+    assert float(np.abs(fn(raw) - f32).mean()) < 0.15 * spread
+
+
+def test_export_cli_int8(tmp_path, capsys):
+    """tools/export_model.py --quantize int8 calibrates on tile dirs, bakes
+    the tier into the artifact, and the loaded artifact tracks the torch
+    golden within the int8 envelope."""
+    torch = pytest.importorskip("torch")
+    from crosstalk_tpu.data.tiff import write_tile
+    from tests.torch_ref import TorchSingle, burn_in_batch_stats
+    from tools.export_model import main as export_main
+
+    size = 64
+    torch.manual_seed(11)
+    tmodel = burn_in_batch_stats(
+        TorchSingle(initial_filters=8, num_blocks=3, image_size=size),
+        size, steps=2)
+    ckpt = str(tmp_path / "model.pth")
+    torch.save(tmodel.state_dict(), ckpt)
+
+    calib_m = tmp_path / "calib_mixed"
+    calib_s = tmp_path / "calib_source"
+    calib_m.mkdir()
+    calib_s.mkdir()
+    rng = np.random.default_rng(17)
+    for i in range(6):
+        write_tile(str(calib_m / f"c{i}_mixed.tif"), rng.random((size, size)))
+        write_tile(str(calib_s / f"c{i}_source.tif"),
+                   rng.random((size, size)))
+
+    out = str(tmp_path / "model_int8.ctkx")
+    rc = export_main(["-p", ckpt, "--out", out, "--batch_size", "4",
+                      "--platforms", "cpu", "--quantize", "int8",
+                      "--calibration_mixed_dir", str(calib_m),
+                      "--calibration_source_dir", str(calib_s)])
+    assert rc == 0
+    assert "Calibrating int8" in capsys.readouterr().out
+
+    from crosstalk_tpu.io.export import load_exported
+
+    fn, meta = load_exported(out)
+    assert meta["path"] == "int8-serving"
+    assert meta["calibration_tiles"] == 6
+
+    raw = rng.random((4, size, size, 2)).astype(np.float32)
+    lo = raw.min(axis=(1, 2), keepdims=True)
+    hi = raw.max(axis=(1, 2), keepdims=True)
+    with torch.no_grad():
+        golden = tmodel(
+            torch.from_numpy(((raw - lo) / (hi - lo)).transpose(0, 3, 1, 2))
+        ).numpy().ravel()
+    spread = max(float(np.ptp(golden)), 1e-3)
+    assert float(np.abs(np.asarray(fn(raw)) - golden).mean()) < 0.15 * spread
+
+
+def test_export_cli_int8_flag_validation(capsys):
+    from tools.export_model import main as export_main
+
+    rc = export_main(["-p", "m.pth", "--quantize", "int8", "--parity"])
+    assert rc == 1
+    assert "mutually exclusive" in capsys.readouterr().out
+    rc = export_main(["-p", "m.pth", "--quantize", "int8"])
+    assert rc == 1
+    assert "requires --calibration_mixed_dir" in capsys.readouterr().out
+    rc = export_main(["-p", "m.pth", "--quantize", "int8",
+                      "--calibration_mixed_dir", "m",
+                      "--calibration_source_dir", "s",
+                      "--calibration_tiles", "0"])
+    assert rc == 1
+    assert "--calibration_tiles must be positive" in capsys.readouterr().out
+    rc = export_main(["-p", "m.pth", "--calibration_mixed_dir", "m"])
+    assert rc == 1
+    assert "only apply with --quantize" in capsys.readouterr().out

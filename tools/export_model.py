@@ -47,9 +47,43 @@ def main(argv=None) -> int:
     ap.add_argument("--parity", action="store_true",
                     help="Export the f32 parity forward instead of the "
                          "bf16 serving path")
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="Lower the opt-in int8 MXU tier instead of bf16 "
+                         "(prediction error OUTSIDE the 1e-4 parity budget "
+                         "— DEPLOY.md parity map). Calibrated activation "
+                         "scales bake into the artifact, so the deployment "
+                         "site needs no calibration data. Requires "
+                         "--calibration_* dirs; incompatible with --parity")
+    ap.add_argument("--calibration_mixed_dir", default=None,
+                    help="--quantize int8: directory of mixed-channel tiles "
+                         "from the serving distribution (paired with "
+                         "--calibration_source_dir by filename)")
+    ap.add_argument("--calibration_source_dir", default=None,
+                    help="--quantize int8: directory of pure-source tiles "
+                         "paired with --calibration_mixed_dir")
+    ap.add_argument("--calibration_tiles", type=int, default=256,
+                    help="--quantize int8: max tile pairs used for "
+                         "activation-range calibration")
     args = ap.parse_args(argv)
     if args.batch_size is not None and args.batch_size <= 0:
         print(f"Error: --batch_size must be positive, got {args.batch_size}")
+        return 1
+    if args.quantize is not None:
+        if args.parity:
+            print("Error: --quantize int8 and --parity are mutually "
+                  "exclusive (int8 is far outside the parity budget).")
+            return 1
+        if not (args.calibration_mixed_dir and args.calibration_source_dir):
+            print("Error: --quantize int8 requires --calibration_mixed_dir "
+                  "and --calibration_source_dir (tiles from the serving "
+                  "distribution to calibrate activation ranges on).")
+            return 1
+        if args.calibration_tiles <= 0:
+            print(f"Error: --calibration_tiles must be positive, got "
+                  f"{args.calibration_tiles}")
+            return 1
+    elif args.calibration_mixed_dir or args.calibration_source_dir:
+        print("Error: --calibration_* dirs only apply with --quantize int8.")
         return 1
 
     from crosstalk_tpu.config import ModelConfig
@@ -103,13 +137,35 @@ def main(argv=None) -> int:
         print(f"Error: --image_size {args.image_size} does not match the "
               f"checkpoint's head (compatible tile sizes: {lo}-{hi}px).")
         return 1
+    int8_scales = None
+    if args.quantize == "int8":
+        from crosstalk_tpu.eval.int8_forward import (
+            calibrate_int8,
+            load_calibration_tiles,
+        )
+
+        try:
+            calib = load_calibration_tiles(
+                args.calibration_mixed_dir, args.calibration_source_dir,
+                args.image_size, max_tiles=args.calibration_tiles)
+        except (ValueError, FileNotFoundError, OSError) as e:
+            print(f"Error loading calibration tiles: {e}")
+            return 1
+        print(f"Calibrating int8 activation ranges on "
+              f"{calib.shape[0]} tile pairs...")
+        # exported programs never use the Pallas kernel (see io/export.py)
+        int8_scales = calibrate_int8(cfg, variables, calib, use_pallas=False)
+
+    path_name = ("f32 parity" if args.parity
+                 else "int8 serving" if args.quantize
+                 else "bf16 serving")
     print(f"Lowering for {args.platforms} "
           f"(batch {'dynamic' if args.batch_size is None else args.batch_size}, "
-          f"{args.image_size}px, "
-          f"{'f32 parity' if args.parity else 'bf16 serving'})...")
+          f"{args.image_size}px, {path_name})...")
     blob, weights = export_serving_model(
         variables, cfg, args.batch_size, image_size=args.image_size,
         fast=not args.parity, platforms=args.platforms,
+        int8_scales=int8_scales,
     )
     out = args.out or args.model_path + ".ctkx"
     from crosstalk_tpu.io.torch_convert import infer_model_size
@@ -122,7 +178,11 @@ def main(argv=None) -> int:
                        else args.batch_size),
         "image_size": args.image_size,
         "platforms": args.platforms,
-        "path": "f32-parity" if args.parity else "bf16-serving",
+        "path": ("f32-parity" if args.parity
+                 else "int8-serving" if args.quantize
+                 else "bf16-serving"),
+        **({"calibration_tiles": int(calib.shape[0])}
+           if int8_scales is not None else {}),
     })
     print(f"Wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB)")
     return 0
