@@ -339,18 +339,26 @@ def main(argv=None) -> int:
 
         calib_batch = None
         int8_scales = None
+
+        def _calibrate(vars_):
+            # one calibration site for startup AND /reload — the
+            # use_pallas condition must match between them or a reload
+            # would silently serve a differently-calibrated program
+            from crosstalk_tpu.eval.int8_forward import calibrate_int8
+
+            return calibrate_int8(
+                model_cfg, vars_, calib_batch,
+                use_pallas=(device.platform in ("tpu", "axon")
+                            and n_dev == 1),
+            )
+
         if args.quantize == "int8":
             calib_batch = _load_calibration_batch(args, image_size)
             if calib_batch is None:
                 return 1
-            from crosstalk_tpu.eval.int8_forward import calibrate_int8
-
             print(f"Calibrating int8 activation ranges on "
                   f"{calib_batch.shape[0]} tile pairs...")
-            int8_scales = calibrate_int8(
-                model_cfg, variables, calib_batch,
-                use_pallas=device.platform in ("tpu", "axon") and n_dev == 1,
-            )
+            int8_scales = _calibrate(variables)
 
         path_name = ("f32 parity" if args.parity
                      else "int8 serving" if args.quantize
@@ -410,13 +418,7 @@ def main(argv=None) -> int:
             if calib_batch is not None:
                 # activation ranges depend on the weights upstream of each
                 # quantize point — recalibrate for the swapped-in checkpoint
-                from crosstalk_tpu.eval.int8_forward import calibrate_int8
-
-                new_scales = calibrate_int8(
-                    model_cfg, new_vars, calib_batch,
-                    use_pallas=(device.platform in ("tpu", "axon")
-                                and n_dev == 1),
-                )
+                new_scales = _calibrate(new_vars)
             new_predict = make_predictor(
                 new_vars, model_cfg, serve_sizes,
                 image_size=image_size, fast=not args.parity, mesh=mesh,

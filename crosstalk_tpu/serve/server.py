@@ -150,25 +150,35 @@ def _decode_request(
             f"request holds {tiles.shape[0]} tiles, cap is {max_tiles}; "
             "split into smaller requests"
         )
-    if tiles.dtype.kind == "f" and not np.isfinite(tiles).all():
-        raise ValueError(
-            "tiles contain non-finite values (inf/NaN); the per-tile "
-            "min-max normalize would propagate them into every prediction "
-            "of the tile"
-        )
+    def _reject_non_finite(arr):
+        if arr.dtype.kind == "f" and not np.isfinite(arr).all():
+            raise ValueError(
+                "tiles contain non-finite values (inf/NaN); the per-tile "
+                "min-max normalize would propagate them into every "
+                "prediction of the tile"
+            )
+
     if tiles.dtype == transport_dtype:
+        _reject_non_finite(tiles)
         return tiles
     if transport_dtype == np.float16:
         # EVERY non-f16 payload goes through the rescale-then-cast wire
         # transform — a direct cast would overflow raw integer counts
         # (uint16 65535 -> inf -> NaN predictions with HTTP 200) and
         # coarsely quantize anything above 2048
+        _reject_non_finite(tiles)
         from crosstalk_tpu.serve.wire import to_f16_wire
 
         return to_f16_wire(tiles, (1, 2))
     with np.errstate(over="ignore"):  # overflow is detected, not a warning
         out = np.asarray(tiles, transport_dtype)
     if out.dtype.kind == "f" and not np.isfinite(out).all():
+        # one post-cast scan covers the converting path: NaN/inf in the
+        # payload survive a float->float cast and integers are always
+        # finite, so a pre-cast scan would be redundant O(n) work per
+        # request. Only on failure (cold path) re-scan the input to tell
+        # payload NaN/inf apart from cast overflow.
+        _reject_non_finite(tiles)
         # e.g. float64 values beyond float32 range: finite before the
         # cast, inf after it — reject like any other non-finite payload
         raise ValueError(

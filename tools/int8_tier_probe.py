@@ -7,13 +7,17 @@ Measures, per model family, the bf16 fast-forward vs int8 forward
 perturbation, D2H fence, OOM batch backoff), plus the int8-vs-f32
 prediction deviation on the reference's 100 bundled real tiles.
 
-Weights are random-init + burned batch stats — the THROUGHPUT ratio is
-weight-independent (same program), but the deviation number must be
-re-measured per trained checkpoint before deploying the tier
+Default weights are random-init + burned batch stats — the THROUGHPUT
+ratio is weight-independent (same program), but the deviation number
+must be re-measured per trained checkpoint before deploying the tier
 (quantization error depends on the trained weight/activation
-distributions).
+distributions): pass ``-p ckpt.pth -o family`` to probe the checkpoint
+you intend to serve. Measured on a trained config-3 checkpoint: same
+1.34x speedup, but 8.3e-3 MAE vs ~1.6e-5 at random init (PERF_NOTES
+"Trained-checkpoint deviation receipt").
 
 Run on the chip: python tools/int8_tier_probe.py [--skip_double]
+                 python tools/int8_tier_probe.py -p best_model.pth -o single
 """
 
 from __future__ import annotations
@@ -96,6 +100,15 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--skip_double", action="store_true")
     p.add_argument("--batch", type=int, default=512)
+    p.add_argument("-p", "--model_path", default=None,
+                   help="Probe a TRAINED .pth checkpoint instead of "
+                        "random-init weights — the deviation number that "
+                        "matters for deploying the tier (throughput is "
+                        "weight-independent). Probes only the checkpoint's "
+                        "family (-o)")
+    p.add_argument("-o", "--model_options", default="single",
+                   choices=["single", "double"],
+                   help="-p checkpoint's model family")
     args = p.parse_args(argv)
 
     from crosstalk_tpu.config import ModelConfig
@@ -108,19 +121,44 @@ def main(argv=None) -> int:
     print(f"devices: {jax.devices()}")
     real = normalize_batch_nhwc(jnp.asarray(_real_tiles()))
 
-    for variant in ["single"] + ([] if args.skip_double else ["double"]):
-        cfg = ModelConfig(variant=variant)
-        model = build_model(cfg)
-        variables = init_model(model, jax.random.key(0), image_size=256)
-        rng = np.random.default_rng(7)
-        variables = {
-            "params": variables["params"],
-            "batch_stats": jax.tree.map(
-                lambda a: a
-                + jnp.asarray(rng.normal(0, 0.01, a.shape), a.dtype) ** 2,
-                variables["batch_stats"],
-            ),
-        }
+    if args.model_path is not None:
+        variants = [args.model_options]
+    else:
+        variants = ["single"] + ([] if args.skip_double else ["double"])
+    for variant in variants:
+        if args.model_path is not None:
+            from crosstalk_tpu.io.torch_convert import (
+                image_size_compatible,
+                infer_image_size,
+                load_pth,
+                model_config_for_checkpoint,
+            )
+
+            variables = load_pth(args.model_path, variant)
+            if not image_size_compatible(variables, variant, 256):
+                # the probe's throughput inputs and reference calibration
+                # tiles are hardwired 256px — fail with the clear message
+                # the serving CLIs give, not a jit-time shape error
+                px = infer_image_size(variables, variant)
+                print(f"error: {args.model_path} was trained at {px}px "
+                      "tiles; this probe measures the 256px serving shape "
+                      "only", file=sys.stderr)
+                return 2
+            cfg = model_config_for_checkpoint(variant, variables)
+            print(f"probing trained checkpoint {args.model_path} ({cfg})")
+        else:
+            cfg = ModelConfig(variant=variant)
+            model = build_model(cfg)
+            variables = init_model(model, jax.random.key(0), image_size=256)
+            rng = np.random.default_rng(7)
+            variables = {
+                "params": variables["params"],
+                "batch_stats": jax.tree.map(
+                    lambda a: a
+                    + jnp.asarray(rng.normal(0, 0.01, a.shape), a.dtype) ** 2,
+                    variables["batch_stats"],
+                ),
+            }
 
         scales = calibrate(cfg, variables, real[:64], use_pallas=on_tpu)
         fast = make_fast_forward(cfg, use_pallas=on_tpu)
@@ -134,7 +172,9 @@ def main(argv=None) -> int:
         )
 
         # deviation on the real tiles: int8 vs the f32 parity path
-        f32_cfg = ModelConfig(variant=variant, compute_dtype="f32")
+        import dataclasses
+
+        f32_cfg = dataclasses.replace(cfg, compute_dtype="f32")
         f32_model = build_model(f32_cfg)
         p_f32 = np.asarray(
             jax.jit(lambda v, a: f32_model.apply(v, a, train=False))(
