@@ -8,20 +8,32 @@ parity budget the default paths honor, so — like the f16 wire — this tier
 is strictly opt-in, with its measured deviation published in the DEPLOY.md
 parity map.
 
-Scheme (standard symmetric post-training quantization):
+Scheme (standard symmetric post-training quantization, v2 calibration):
 
   * weights: per-output-channel symmetric int8, quantized in-graph from the
     served f32 ``variables`` (no second checkpoint format; the requant cost
     is <2% of a forward at serving batch sizes);
-  * activations: per-tensor symmetric int8 with static absmax calibration
-    (``calibrate_int8`` runs one representative batch through the bf16 path and
-    records the input absmax at every quantize point);
-  * each conv/dense computes in int8 with an int32 accumulator; the
+  * activations: per-tensor symmetric int8 with static calibration
+    (``calibrate_int8`` runs one representative batch through the bf16 path
+    and records a clip at every quantize point). v2 default is an
+    **MSE-optimal clip** — per tensor, the clip minimizing the quantization
+    MSE over a swept fraction of the batch absmax — which beats raw absmax
+    whenever the activation distribution is heavy-tailed (one outlier pixel
+    no longer inflates the whole tensor's quantum). ``method="absmax"``
+    reproduces the v1 scheme;
+  * each conv computes in int8 with an int32 accumulator; the
     dequantization constant folds into the already-folded BatchNorm affine,
     so the epilogue (scale, bias, LeakyReLU, maxpool) costs exactly what
     the bf16 path's does;
   * the first conv block (1-2 input channels, ~0.1% of FLOPs) stays on the
     bf16/Pallas path of ``fast_forward``; the final 128->1 dense stays f32.
+    v2 also keeps the two FC+BN head blocks in bf16 by default
+    (``int8_dense=False``): they are <0.1% of the model's FLOPs — no
+    measurable throughput — while their flattened 8192-dim input mixes
+    activation scales from every spatial position, exactly where per-tensor
+    int8 loses the most accuracy. Calibrations carrying ``dense_*`` scales
+    (``int8_dense=True``, and every pre-v2 exported artifact) still run the
+    dense blocks in int8, so old ``.ctkx`` artifacts serve unchanged.
 
 Same prediction contract as ``make_fast_forward``: fn(variables, x_nhwc)
 -> (B, 1) float32 alphas (reference models regression_model.py:58-61,
@@ -53,6 +65,32 @@ def _quant_weight(k):
     sw = jnp.maximum(absmax, 1e-12) / 127.0
     kq = jnp.clip(jnp.round(k.astype(jnp.float32) / sw), -127, 127).astype(jnp.int8)
     return kq, sw
+
+
+# clip-search grid for method="mse": fractions of the batch absmax. 1.0 is
+# always a candidate so the MSE scheme can never do worse than absmax on the
+# calibration batch itself.
+_MSE_CLIP_RATIOS = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.45, 0.4, 0.35, 0.3, 0.25, 0.2)
+
+
+def _mse_clip(h):
+    """MSE-optimal symmetric int8 clip for tensor ``h``.
+
+    Sweeps clips c = ratio * absmax(|h|) and returns the one minimizing
+    mean((quant_dequant(h, c) - h)^2). Unrolled (12 fused reductions) rather
+    than vmapped — a vmap would materialize a candidates-times-tensor
+    intermediate on multi-hundred-MB calibration activations.
+    """
+    h = h.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(h))
+    clips, errs = [], []
+    for r in _MSE_CLIP_RATIOS:
+        c = absmax * r
+        s = jnp.maximum(c, 1e-12) / 127.0
+        q = jnp.clip(jnp.round(h / s), -127, 127) * s
+        clips.append(c)
+        errs.append(jnp.mean(jnp.square(q - h)))
+    return jnp.stack(clips)[jnp.argmin(jnp.stack(errs))]
 
 
 def _quant_act(x, sx):
@@ -186,16 +224,29 @@ def calibrate_int8(
     batch,
     use_pallas: bool = True,
     interpret: bool = False,
+    method: str = "mse",
+    int8_dense: bool = False,
 ):
     """Run one representative batch through the bf16 serving path and record
-    the input absmax at every int8 quantize point.
+    an activation clip at every int8 quantize point.
 
     -> dict[str, float] of scales, the ``scales`` argument of
     ``make_int8_forward``. Calibrate on data drawn from the serving
-    distribution (e.g. a few hundred normalized tiles); absmax calibration
-    saturates anything larger at inference time.
+    distribution (e.g. a few hundred normalized tiles); inputs beyond the
+    calibrated clip saturate at inference time.
+
+    ``method``: "mse" (v2 default, MSE-optimal clip per tensor — see
+    ``_mse_clip``) or "absmax" (v1, the raw batch absmax).
+    ``int8_dense``: also record clips for the two FC+BN head blocks so
+    ``make_int8_forward`` runs them in int8 (v1 behavior; v2 keeps the head
+    in bf16 — it is ~0.1% of FLOPs and the dominant quantization-error
+    source on trained checkpoints).
     """
     eps, slope, variant = cfg.bn_eps, cfg.leaky_slope, cfg.variant
+    if method not in ("mse", "absmax"):
+        raise ValueError(f"unknown calibration method {method!r}")
+    clip_fn = _mse_clip if method == "mse" else (
+        lambda h: jnp.max(jnp.abs(h.astype(jnp.float32))))
 
     def run(variables, x):
         params = variables["params"]
@@ -203,7 +254,7 @@ def calibrate_int8(
         scales: dict[str, jax.Array] = {}
 
         def record(name, h):
-            scales[name] = jnp.max(jnp.abs(h.astype(jnp.float32)))
+            scales[name] = clip_fn(h)
             return h
 
         if variant == "double":
@@ -240,11 +291,13 @@ def calibrate_int8(
                 h = _conv_block_eval(h, kernel, scale, bias, slope)
                 n += 1
         h = h.reshape(h.shape[0], -1)
-        for i in (0, 1):
-            record(f"dense_{i}", h)
-            h = _dense_bn_eval(
-                h, params[f"DenseBNBlock_{i}"], stats[f"DenseBNBlock_{i}"], eps, slope
-            )
+        if int8_dense:
+            for i in (0, 1):
+                record(f"dense_{i}", h)
+                h = _dense_bn_eval(
+                    h, params[f"DenseBNBlock_{i}"], stats[f"DenseBNBlock_{i}"],
+                    eps, slope
+                )
         return scales
 
     # one compiled program: eager dispatch of each op through a remote
@@ -261,11 +314,15 @@ def make_int8_forward(
     interpret: bool = False,
 ):
     """-> jittable fn(variables, batch_nhwc) -> (B, 1) float32 predictions,
-    with every conv/dense after block 0 computed on the int8 MXU path.
+    with every conv after block 0 computed on the int8 MXU path. The two
+    FC+BN head blocks run in int8 only when ``scales`` carries their
+    ``dense_*`` clips (``calibrate_int8(int8_dense=True)`` / pre-v2
+    artifacts); otherwise they ride the bf16 path — same throughput,
+    materially lower error.
 
     ``scales`` comes from ``calibrate_int8`` (must match the model variant/depth:
-    missing keys raise KeyError at trace time). Accuracy is NOT within the
-    1e-4 parity budget — see DEPLOY.md's parity map for the measured
+    missing conv keys raise KeyError at trace time). Accuracy is NOT within
+    the 1e-4 parity budget — see DEPLOY.md's parity map for the measured
     deviation before choosing this tier.
     """
     eps, slope, variant = cfg.bn_eps, cfg.leaky_slope, cfg.variant
@@ -292,12 +349,22 @@ def make_int8_forward(
             )
             h = _branch_int8(h0, params, stats, scales, "conv_", eps, slope)
         h = h.reshape(h.shape[0], -1)
+        # dense head tier follows the calibration: v2 calibrations omit the
+        # dense_* clips (bf16 head); v1/int8_dense calibrations — including
+        # every pre-v2 exported .ctkx artifact — carry them and keep the
+        # original int8 dense path
         for i in (0, 1):
-            h = _dense_bn_int8(
-                h, scales[f"dense_{i}"],
-                params[f"DenseBNBlock_{i}"], stats[f"DenseBNBlock_{i}"],
-                eps, slope,
-            )
+            if f"dense_{i}" in scales:
+                h = _dense_bn_int8(
+                    h, scales[f"dense_{i}"],
+                    params[f"DenseBNBlock_{i}"], stats[f"DenseBNBlock_{i}"],
+                    eps, slope,
+                )
+            else:
+                h = _dense_bn_eval(
+                    h, params[f"DenseBNBlock_{i}"], stats[f"DenseBNBlock_{i}"],
+                    eps, slope,
+                )
         out = params["Dense_0"]
         h = (
             jnp.dot(

@@ -65,21 +65,72 @@ def test_quant_act_saturates_outside_calibration_range():
 
 
 @pytest.mark.parametrize("variant", ["single", "double"])
-def test_calibrate_covers_every_quantize_point(variant):
+@pytest.mark.parametrize("int8_dense", [False, True])
+def test_calibrate_covers_every_quantize_point(variant, int8_dense):
     cfg = _small_cfg(variant)
     _, variables = _variables(cfg, 32, 3)
     x = np.random.default_rng(1).random((2, 32, 32, 2)).astype(np.float32)
-    scales = calibrate(cfg, variables, x, use_pallas=False, interpret=True)
+    scales = calibrate(cfg, variables, x, use_pallas=False, interpret=True,
+                       int8_dense=int8_dense)
     if variant == "single":
-        expected = {"conv_1", "conv_2", "dense_0", "dense_1"}
+        expected = {"conv_1", "conv_2"}
     else:
         expected = {
             "bleed_1", "bleed_2", "bleed_3",
             "source_1", "source_2", "source_3",
-            "dense_0", "dense_1",
         }
+    if int8_dense:  # v1 scheme: the FC head quantizes too
+        expected |= {"dense_0", "dense_1"}
     assert set(scales) == expected
     assert all(v > 0 for v in scales.values())
+
+
+def test_mse_clip_never_exceeds_absmax_and_tightens_gaussian_tails():
+    """method='mse' picks a clip <= the batch absmax, and on a large
+    Gaussian tensor — where the absmax is a lone extreme order statistic —
+    it clips below it, spending the saturation of a ~1e-5 tail fraction to
+    shrink every other element's quantum. (Note the converse is also true
+    and deliberate: a tensor whose outlier carries real squared mass keeps
+    its absmax clip — MSE optimality, not blind percentile chopping.)"""
+    from crosstalk_tpu.eval.int8_forward import _mse_clip
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, 2_000_000).astype(np.float32))
+    absmax = float(jnp.max(jnp.abs(x)))
+    clip = float(_mse_clip(x))
+    assert clip <= absmax + 1e-6
+    assert clip < 0.95 * absmax  # a real tightening, not grid noise
+    assert clip > 0.2 * absmax  # and not a degenerate chop
+
+
+def test_calibrate_mse_matches_or_beats_absmax_end_to_end():
+    """On the same model/batch, the v2 (mse clip + bf16 head) forward must
+    not be less accurate than the v1 (absmax + int8 head) forward."""
+    cfg = _small_cfg("single")
+    model, variables = _variables(cfg, 64, 2)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((4, 64, 64, 2)).astype(np.float32))
+    golden = np.asarray(
+        jax.jit(lambda v, a: model.apply(v, a, train=False))(variables, x)
+    )
+
+    def mae(scales):
+        fwd = make_int8_forward(cfg, scales, use_pallas=False, interpret=True)
+        return float(np.abs(np.asarray(jax.jit(fwd)(variables, x)) - golden).mean())
+
+    v1 = mae(calibrate(cfg, variables, x, use_pallas=False, interpret=True,
+                       method="absmax", int8_dense=True))
+    v2 = mae(calibrate(cfg, variables, x, use_pallas=False, interpret=True))
+    assert v2 <= v1 * 1.05, (v2, v1)  # 5% slack: different rounding noise
+
+
+def test_calibrate_unknown_method_raises():
+    cfg = _small_cfg("single")
+    _, variables = _variables(cfg, 32, 3)
+    x = np.random.default_rng(1).random((2, 32, 32, 2)).astype(np.float32)
+    with pytest.raises(ValueError, match="calibration method"):
+        calibrate(cfg, variables, x, use_pallas=False, interpret=True,
+                  method="minmax")
 
 
 @pytest.mark.parametrize("variant", ["single", "double"])
