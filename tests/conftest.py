@@ -37,6 +37,13 @@ def pytest_configure(config):
         if capman is not None:
             capman.stop_global_capturing()  # restore the real stdout fds
         env = dict(os.environ)
+        # stash the ambient TPU environment before stripping it: the opt-in
+        # perf-regression guard (tests/test_perf_guard.py) restores these to
+        # run bench.py against the real chip from inside the CPU-only suite
+        env.setdefault("CROSSTALK_TPU_PYTHONPATH", env.get("PYTHONPATH", ""))
+        env.setdefault(
+            "CROSSTALK_TPU_JAX_PLATFORMS", env.get("JAX_PLATFORMS", ""))
+        env.setdefault("CROSSTALK_TPU_XLA_FLAGS", env.get("XLA_FLAGS", ""))
         env["PYTHONPATH"] = ":".join(
             p for p in env.get("PYTHONPATH", "").split(":") if p and "axon" not in p
         )

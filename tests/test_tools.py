@@ -134,6 +134,58 @@ def test_unmix_demo_figure(tmp_path):
                             "mean_bleed_removed_pct", "png"}
 
 
+def test_distill_tool_end_to_end(tmp_path):
+    """tools/distill.py (tiny shapes, CPU): teacher .pth labels the train
+    split, the width-4 student trains through the standard loop, the
+    scoreboard evaluates on TRUE labels, and the run dir carries the full
+    artifact contract (so serve/eval/analyse tooling works on students)."""
+    import glob
+
+    import torch
+
+    from tests.conftest import make_synthetic_dataset
+    from tests.torch_ref import TorchSingle, burn_in_batch_stats
+    from tools.distill import main as distill
+
+    mixed, source = make_synthetic_dataset(str(tmp_path), n=24, size=32,
+                                           seed=3)
+    torch.manual_seed(5)
+    teacher = burn_in_batch_stats(
+        TorchSingle(image_size=32, initial_filters=8, num_blocks=3), 32)
+    teacher_path = str(tmp_path / "teacher.pth")
+    torch.save(teacher.state_dict(), teacher_path)
+
+    base = str(tmp_path / "out")
+    rc = distill([
+        "-m", mixed, "-s", source, "-p", teacher_path,
+        "--initial_filters", "4", "--num_conv_blocks", "3",
+        "-b", "8", "-n", "1", "-r", "onecycle", "--blend", "0.2",
+        "-j", "2", "--output_base", base,
+    ])
+    assert rc == 0
+    (run_dir,) = glob.glob(os.path.join(base, "training_run_*"))
+    for pattern in ("params.txt", "model_architecture.txt",
+                    "training_log_*.csv", "best_model_onecycle.pth",
+                    "crosstalk_regression_model_trained_*.pth",
+                    "test_predictions_*.csv", "train_predictions_*.csv",
+                    "val_predictions_*.csv"):
+        assert glob.glob(os.path.join(run_dir, pattern)), pattern
+    # the provenance line lands in params.txt; the student .pth is the
+    # student's size (strict-load into a width-4 torch twin)
+    with open(os.path.join(run_dir, "params.txt")) as f:
+        assert "distilled_from" in f.read()
+    (student_path,) = glob.glob(
+        os.path.join(run_dir, "crosstalk_regression_model_trained_*.pth"))
+    student = TorchSingle(image_size=32, initial_filters=4, num_blocks=3)
+    student.load_state_dict(
+        torch.load(student_path, map_location="cpu", weights_only=True))
+
+    # invalid blend is rejected before any work
+    assert distill([
+        "-m", mixed, "-s", source, "-p", teacher_path, "--blend", "1.5",
+    ]) == 1
+
+
 @pytest.mark.skipif(
     not os.environ.get("CROSSTALK_RUN_SLOW"),
     reason="minutes of CPU conv compute; set CROSSTALK_RUN_SLOW=1 to run",

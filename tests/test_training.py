@@ -548,7 +548,10 @@ def test_train_cli_multi_device_epoch_scale_matches_single_device(
     8-device mesh vs 1 device — same seed, f32, `--dropout 0`, augmentation
     ON (flips are layout-invariant by construction: per-global-example RNG,
     see paired_random_flips; dropout masks are the one irreducibly
-    layout-bound draw, hence pinned to 0 here). Asserts the COMPOSED
+    layout-bound draw, hence pinned to 0 here — dropout-ON DP training is
+    validated statistically by
+    test_train_cli_dropout_on_dp_equivalence_statistical). Asserts the
+    COMPOSED
     multi-device training semantics over 6 epochs — psum-synced BN running
     stats + per-example augmentation + masked val + Adam + onecycle —
     not just the step-t=1 equivalence of
@@ -638,6 +641,72 @@ def test_train_cli_multi_device_epoch_scale_matches_single_device(
                 [float(r["Predicted_Label"]) for r in rows])
         np.testing.assert_allclose(preds[1], preds[8], atol=3e-3,
                                    err_msg=f"{split} predictions diverged")
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CROSSTALK_RUN_SLOW"),
+    reason="12 short CLI trainings (~minutes of CPU conv); "
+           "set CROSSTALK_RUN_SLOW=1 to run",
+)
+def test_train_cli_dropout_on_dp_equivalence_statistical(tmp_path):
+    """Dropout-ON DP equivalence, statistically — the deliberate
+    complement to test_train_cli_multi_device_epoch_scale_matches_single_device,
+    which pins `--dropout 0` because dropout masks are the one irreducibly
+    layout-bound draw (whole-activation shapes depend on the shard batch;
+    shards fold their axis index into the key — train/steps.py
+    rngs_and_offset). With dropout at the reference default (0.1,
+    regression_model.py:39,44, ON in the reference's training
+    train_model.py:419-424) the 1-device and 8-device runs are therefore
+    DIFFERENT random draws of the same training distribution — bitwise
+    comparison is meaningless, so the claim is statistical: over K seeds,
+    the final-val-loss populations of the two layouts must be
+    indistinguishable (Mann-Whitney rank-sum), and their seed-paired
+    differences must sit inside the population spread. A real DP-semantics
+    bug (dropout applied per-replica at the wrong rate, unsynced BN,
+    mis-scaled grads) shifts every 8-device run systematically and fails
+    both checks."""
+    import csv
+
+    from scipy.stats import mannwhitneyu
+
+    from crosstalk_tpu.cli.train import main as train_main
+
+    mixed_dir, source_dir = make_synthetic_dataset(
+        str(tmp_path), n=64, size=32, seed=12)
+    seeds = [43, 101, 211, 307, 401, 503]
+    finals = {1: [], 8: []}
+    for seed in seeds:
+        for n_dev in (1, 8):
+            base = os.path.join(str(tmp_path), f"s{seed}_d{n_dev}")
+            rc = train_main([
+                "-m", mixed_dir, "-s", source_dir, "-b", "16", "-l", "1e-3",
+                "-n", "3", "-j", "2", "-o", "single", "-r", "onecycle",
+                "--compute_dtype", "f32", "--seed", str(seed),
+                "--initial_filters", "8", "--num_conv_blocks", "3",
+                "--output_base", base, "--num_devices", str(n_dev),
+            ])
+            assert rc == 0
+            (run_dir,) = glob.glob(os.path.join(base, "training_run_*"))
+            (log,) = glob.glob(os.path.join(run_dir, "training_log_*.csv"))
+            with open(log, newline="") as f:
+                rows = list(csv.reader(f))
+            head = rows.index(
+                ["epoch", "train_loss", "val_loss", "learning_rate"])
+            finals[n_dev].append(float(rows[head + 1:][-1][2]))
+
+    a, b = np.array(finals[1]), np.array(finals[8])
+    # population check: the layouts draw from one distribution. 6-vs-6
+    # complete separation gives p=0.002; a systematic shift fails this.
+    p = mannwhitneyu(a, b, alternative="two-sided").pvalue
+    assert p > 0.02, (
+        f"1-dev vs 8-dev dropout-on val losses separate (p={p:.4f}): "
+        f"{a} vs {b}")
+    # paired check: per-seed layout differences stay inside the seed-to-
+    # seed spread (dropout-draw noise, not a layout offset)
+    spread = max(a.std(), b.std(), 1e-9)
+    assert abs((a - b).mean()) < 2.0 * spread, (
+        f"systematic layout offset {np.mean(a - b):.3e} vs seed spread "
+        f"{spread:.3e}")
 
 
 def test_train_cli_custom_model_size_roundtrip(tmp_path):
