@@ -328,6 +328,12 @@ def main(argv=None) -> int:
         print("Error: --int8 and --fast are distinct serving tiers — "
               "pass exactly one.")
         return 1
+    if args.int8 and args.model_options == "double":
+        print("Error: --int8 is gated to the single-branch family: on the "
+              "two-branch model the tier is a measured wash (no throughput "
+              "win over bf16 — PERF_NOTES \"int8 serving\") while still "
+              "adding quantization error. Use --fast instead.")
+        return 1
 
     try:
         index = pair_unlabeled(args.mixed_channel_data_dir,

@@ -504,3 +504,7 @@ def test_export_cli_int8_flag_validation(capsys):
     rc = export_main(["-p", "m.pth", "--calibration_mixed_dir", "m"])
     assert rc == 1
     assert "only apply with --quantize" in capsys.readouterr().out
+    # two-branch int8 is gated: measured wash (PERF_NOTES "int8 serving")
+    rc = export_main(["-p", "m.pth", "-o", "double", "--quantize", "int8"])
+    assert rc == 1
+    assert "gated to the single-branch family" in capsys.readouterr().out

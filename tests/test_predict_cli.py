@@ -605,3 +605,8 @@ def test_predict_cli_int8_flag_validation(tmp_path, capsys):
                        "--int8", "--fast"])
     assert rc == 1
     assert "distinct serving tiers" in capsys.readouterr().out
+    # two-branch int8 is gated: measured wash (PERF_NOTES "int8 serving")
+    rc = predict_main(["-m", mixed, "-s", source, "-p", "model.pth",
+                       "-o", "double", "--int8"])
+    assert rc == 1
+    assert "gated to the single-branch family" in capsys.readouterr().out

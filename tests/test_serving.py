@@ -791,6 +791,10 @@ def test_serve_cli_flag_validation(tmp_path, capsys):
     assert "--quantize int8 requires a checkpoint" in capsys.readouterr().out
     assert serve_main(["-p", "a.pth", "--quantize", "int8", "--parity"]) == 1
     assert "mutually exclusive" in capsys.readouterr().out
+    # two-branch int8 is gated: measured wash (PERF_NOTES "int8 serving")
+    assert serve_main(["-p", "a.pth", "-o", "double",
+                       "--quantize", "int8"]) == 1
+    assert "gated to the single-branch family" in capsys.readouterr().out
     assert serve_main(["-p", "a.pth", "--quantize", "int8"]) == 1
     assert "requires --calibration_mixed_dir" in capsys.readouterr().out
     assert serve_main(["-p", "a.pth", "--quantize", "int8",

@@ -73,6 +73,13 @@ def main(argv=None) -> int:
             print("Error: --quantize int8 and --parity are mutually "
                   "exclusive (int8 is far outside the parity budget).")
             return 1
+        if args.model_options == "double":
+            print("Error: --quantize int8 is gated to the single-branch "
+                  "family: on the two-branch model the tier is a measured "
+                  "wash (no throughput win over bf16 — PERF_NOTES \"int8 "
+                  "serving\") while still adding quantization error. Export "
+                  "the default bf16 tier instead.")
+            return 1
         if not (args.calibration_mixed_dir and args.calibration_source_dir):
             print("Error: --quantize int8 requires --calibration_mixed_dir "
                   "and --calibration_source_dir (tiles from the serving "
