@@ -145,12 +145,10 @@ def main(argv=None) -> int:
     from crosstalk_tpu.config import ModelConfig, OptimConfig, TrainConfig
     from crosstalk_tpu.data.index import PairIndex, split_samples
     from crosstalk_tpu.data.pipeline import TileStore
-    from crosstalk_tpu.eval.engine import evaluate_and_save
     from crosstalk_tpu.io import artifacts
-    from crosstalk_tpu.io.torch_convert import load_pth, save_pth
     from crosstalk_tpu.models import build_model, init_model, torch_style_repr
     from crosstalk_tpu.parallel.mesh import data_mesh
-    from crosstalk_tpu.train.loop import train_model
+    from crosstalk_tpu.train.loop import finish_training_run, train_model
     from crosstalk_tpu.train.steps import init_train_state, make_optimizer
     from crosstalk_tpu.utils.profiling import enable_debug_checks, maybe_trace
 
@@ -485,44 +483,19 @@ def main(argv=None) -> int:
         # meshless) post-training evaluation belong to rank 0
         return 0
 
-    # final .pth with a fresh timestamp (train_model.py:644-648)
-    ts2 = artifacts.timestamp()
-    final_path = (
-        f"{run_dir}/crosstalk_regression_model_trained_{ts2}_"
-        f"{args.batch_size}_{args.learning_rate}.pth"
-    )
-    save_pth(
-        final_path,
-        {"params": state.params, "batch_stats": state.batch_stats},
-        args.model_options,
-    )
-    print(f"Trained model weights saved to {final_path}")
-
-    artifacts.plot_loss_curves(
-        run_dir, train_losses, val_losses, ts2, args.batch_size, args.learning_rate
-    )
-    print("Training and validation loss plot saved")
-
-    # Reload from the saved .pth into fresh variables before evaluation —
-    # the reference's implicit serialization round-trip check
-    # (train_model.py:666-673).
-    print("\n--- Evaluating Model ---")
-    loaded = load_pth(final_path, args.model_options)
-    suffix = f"{ts2}_{args.batch_size}_{args.learning_rate}"
-    for split in ("test", "train", "val"):
-        print(f"\n--- Evaluating Model on {split.capitalize()} Set ---")
+    def store_for(split):
         # device-resident runs evaluate from HBM too, reusing the train/val
         # copies train_model already uploaded (test needs its one upload)
         if device_data:
-            eval_store = device_datasets.get(split) or DeviceDataset(stores[split])
-        else:
-            eval_store = stores[split]
-        evaluate_and_save(
-            eval_model, loaded, eval_store,
-            dataset_name=split, output_dir=run_dir, ts=ts2,
-            batch_size=min(batch_size, 256),
-            with_metrics=False, train_suffix=suffix,
-        )
+            return device_datasets.get(split) or DeviceDataset(stores[split])
+        return stores[split]
+
+    finish_training_run(
+        eval_model, state, args.model_options, run_dir,
+        args.batch_size, args.learning_rate, store_for,
+        eval_batch_size=min(batch_size, 256),
+        train_losses=train_losses, val_losses=val_losses,
+    )
     return 0
 
 

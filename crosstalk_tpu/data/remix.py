@@ -106,10 +106,15 @@ class RemixBank:
         if image_ids is not None:
             keep = set(image_ids)
             samples = [s for s in samples if s.image_id in keep]
-        if len(samples) < 2:
+        # the invariant pair() depends on is >=2 DISTINCT image ids (its
+        # rejection loop draws until base id != source id), not >=2 samples:
+        # one image mixed at several alphas is legal under PairIndex's
+        # (image_id, alpha) key and would loop forever
+        if len({s.image_id for s in samples}) < 2:
             raise ValueError(
-                f"remix needs >=2 distinct real pairs after filtering, got "
-                f"{len(samples)} from {mixed_dir!r}/{source_dir!r}")
+                f"remix needs >=2 distinct image ids after filtering, got "
+                f"{len({s.image_id for s in samples})} across "
+                f"{len(samples)} pairs from {mixed_dir!r}/{source_dir!r}")
         self.ids = [s.image_id for s in samples]
         self.mixed = [read_tile(s.mixed_path, dtype=np.float64)
                       for s in samples]

@@ -333,3 +333,62 @@ def train_model(
             f"{run_dir}/lr_schedule_{schedule.scheduler_type}.png"
         )
     return state, train_losses, val_losses
+
+
+def finish_training_run(
+    eval_model,
+    state: TrainState,
+    variant: str,
+    run_dir: str,
+    naming_batch_size,
+    learning_rate,
+    store_for,
+    eval_batch_size: int,
+    train_losses,
+    val_losses,
+):
+    """The post-training epilogue shared by the train CLI and distill tool:
+    final .pth under the reference's exact naming (train_model.py:644-648),
+    loss-curve plot, reload-from-disk round trip (the reference's implicit
+    serialization check, train_model.py:666-673), and the three per-split
+    prediction CSVs/plots. This is run-dir contract surface that
+    analyse/eval tooling parses back by name — one implementation so it
+    cannot drift between entry points.
+
+    ``store_for(split)`` -> the TileStore/DeviceDataset to evaluate for
+    'test'/'train'/'val'. Returns (final_path, {split: mse}).
+    """
+    from crosstalk_tpu.eval.engine import evaluate_and_save
+    from crosstalk_tpu.io.torch_convert import load_pth, save_pth
+
+    ts2 = artifacts.timestamp()
+    final_path = (
+        f"{run_dir}/crosstalk_regression_model_trained_{ts2}_"
+        f"{naming_batch_size}_{learning_rate}.pth"
+    )
+    save_pth(
+        final_path,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        variant,
+    )
+    print(f"Trained model weights saved to {final_path}")
+
+    artifacts.plot_loss_curves(
+        run_dir, train_losses, val_losses, ts2, naming_batch_size,
+        learning_rate,
+    )
+    print("Training and validation loss plot saved")
+
+    print("\n--- Evaluating Model ---")
+    loaded = load_pth(final_path, variant)
+    suffix = f"{ts2}_{naming_batch_size}_{learning_rate}"
+    split_mse = {}
+    for split in ("test", "train", "val"):
+        print(f"\n--- Evaluating Model on {split.capitalize()} Set ---")
+        split_mse[split] = evaluate_and_save(
+            eval_model, loaded, store_for(split),
+            dataset_name=split, output_dir=run_dir, ts=ts2,
+            batch_size=eval_batch_size, with_metrics=False,
+            train_suffix=suffix,
+        )
+    return final_path, split_mse

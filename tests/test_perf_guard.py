@@ -48,14 +48,18 @@ TOLERANCE = 0.95
 )
 def test_bench_rates_hold_the_pinned_floor():
     # restore the ambient TPU environment that conftest's CPU re-exec
-    # stripped (stashed there as CROSSTALK_TPU_*)
+    # stripped (stashed there as CROSSTALK_TPU_*). The PYTHONPATH stash key
+    # is the marker that a re-exec happened at all: on an axon-free host
+    # conftest never re-execs, no stash exists, and the ambient env already
+    # IS the TPU env — touch nothing in that case.
     env = dict(os.environ)
-    for var in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS"):
-        stashed = env.pop(f"CROSSTALK_TPU_{var}", "")
-        if stashed:
-            env[var] = stashed
-        else:
-            env.pop(var, None)
+    if "CROSSTALK_TPU_PYTHONPATH" in env:
+        for var in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS"):
+            stashed = env.pop(f"CROSSTALK_TPU_{var}", "")
+            if stashed:
+                env[var] = stashed
+            else:
+                env.pop(var, None)
     env.pop("CROSSTALK_TEST_REEXEC", None)
 
     proc = subprocess.run(

@@ -117,8 +117,24 @@ def test_remix_mixing_identity_single_source_bank(tmp_path):
 def test_remix_bank_rejects_degenerate_inputs(tmp_path):
     mixed_dir, source_dir = make_synthetic_dataset(str(tmp_path / "one"),
                                                    n=1, size=16, seed=1)
-    with pytest.raises(ValueError, match=">=2 distinct real pairs"):
+    with pytest.raises(ValueError, match=">=2 distinct image ids"):
         RemixBank(mixed_dir, source_dir)
+
+    # >=2 SAMPLES but one image id (same image at two alphas — legal under
+    # PairIndex's compound key): pair()'s different-id rejection loop could
+    # never terminate, so the constructor must reject up front
+    from crosstalk_tpu.data.tiff import write_tile
+
+    one_id = tmp_path / "oneid"
+    rng = np.random.default_rng(0)
+    for d in ("Mixed", "Source"):
+        os.makedirs(one_id / d)
+    for alpha in ("0.1", "0.2"):
+        for d, kind in (("Mixed", "mixed"), ("Source", "source")):
+            write_tile(str(one_id / d / f"image_7_alpha_{alpha}_{kind}.tif"),
+                       rng.random((16, 16)))
+    with pytest.raises(ValueError, match=">=2 distinct image ids"):
+        RemixBank(str(one_id / "Mixed"), str(one_id / "Source"))
 
 
 def test_make_dataset_cli_remix_requires_real_dirs(tmp_path):

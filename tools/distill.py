@@ -84,15 +84,14 @@ def main(argv=None) -> int:
     from crosstalk_tpu.config import ModelConfig, OptimConfig, TrainConfig
     from crosstalk_tpu.data.index import PairIndex, split_samples
     from crosstalk_tpu.data.pipeline import TileStore
-    from crosstalk_tpu.eval.engine import evaluate, evaluate_and_save
+    from crosstalk_tpu.eval.engine import evaluate
     from crosstalk_tpu.io import artifacts
     from crosstalk_tpu.io.torch_convert import (
         load_pth,
         model_config_for_checkpoint,
-        save_pth,
     )
     from crosstalk_tpu.models import build_model, init_model, torch_style_repr
-    from crosstalk_tpu.train.loop import train_model
+    from crosstalk_tpu.train.loop import finish_training_run, train_model
     from crosstalk_tpu.train.steps import init_train_state, make_optimizer
 
     # ---- data: reference split protocol ------------------------------
@@ -181,32 +180,17 @@ def main(argv=None) -> int:
         seed=args.seed, naming_batch_size=args.batch_size)
     print("Distillation training finished!")
 
-    ts2 = artifacts.timestamp()
-    final_path = (f"{run_dir}/crosstalk_regression_model_trained_{ts2}_"
-                  f"{args.batch_size}_{args.learning_rate}.pth")
-    save_pth(final_path,
-             {"params": state.params, "batch_stats": state.batch_stats},
-             args.model_options)
-    print(f"Student weights saved to {final_path}")
-    artifacts.plot_loss_curves(run_dir, train_losses, val_losses, ts2,
-                               args.batch_size, args.learning_rate)
-
-    # ---- scoreboard: TRUE labels, serialization round-trip -----------
+    # ---- scoreboard: TRUE labels, the shared finishing path ----------
     stores["train"].labels = true_train
-    loaded = load_pth(final_path, args.model_options)
-    suffix = f"{ts2}_{args.batch_size}_{args.learning_rate}"
-    split_mse = {}
-    for split in ("test", "train", "val"):
-        print(f"\n--- Evaluating Student on {split.capitalize()} Set ---")
-        split_mse[split] = evaluate_and_save(
-            student, loaded, stores[split],
-            dataset_name=split, output_dir=run_dir, ts=ts2,
-            batch_size=min(batch_size, 256),
-            with_metrics=False, train_suffix=suffix)
+    final_path, split_mse = finish_training_run(
+        student, state, args.model_options, run_dir,
+        args.batch_size, args.learning_rate, lambda split: stores[split],
+        eval_batch_size=min(batch_size, 256),
+        train_losses=train_losses, val_losses=val_losses)
     print(f"\nDistillation summary: student test MSE {split_mse['test']:.6f}"
           f" vs teacher test MSE {teacher_test_mse:.6f} "
           f"(ratio {split_mse['test'] / max(teacher_test_mse, 1e-12):.3f}; "
-          f"student width {args.initial_filters})")
+          f"student width {args.initial_filters}; student .pth {final_path})")
     return 0
 
 
