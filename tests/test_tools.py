@@ -185,6 +185,35 @@ def test_distill_tool_end_to_end(tmp_path):
         "-m", mixed, "-s", source, "-p", teacher_path, "--blend", "1.5",
     ]) == 1
 
+    # --resume continues the SAME run from its native checkpoint: identity
+    # hyperparameters (student width, blend, teacher, schedule) are adopted
+    # from params.txt even when the resume invocation passes conflicting
+    # flags; -n is the extendable total-epoch target; the original log CSV
+    # gains the new epochs; params.txt stays the original record.
+    rc = distill([
+        "-m", mixed, "-s", source, "-p", teacher_path,
+        "--initial_filters", "8",  # conflicts — must be overridden to 4
+        "--blend", "0.9",          # conflicts — must be overridden to 0.2
+        "-n", "2", "-j", "2", "--resume", run_dir,
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(run_dir, "params_resume.txt"))
+    (log_csv,) = glob.glob(os.path.join(run_dir, "training_log_*.csv"))
+    with open(log_csv) as f:
+        epochs = [line.split(",")[0] for line in f
+                  if line.split(",")[0].isdigit()]
+    assert epochs == ["1", "2"]
+    # the final .pth still strict-loads at the ORIGINAL student width
+    # (the resumed epilogue writes its own timestamped final .pth — take
+    # the newest)
+    newest = max(
+        glob.glob(os.path.join(
+            run_dir, "crosstalk_regression_model_trained_*.pth")),
+        key=os.path.getmtime)
+    student = TorchSingle(image_size=32, initial_filters=4, num_blocks=3)
+    student.load_state_dict(
+        torch.load(newest, map_location="cpu", weights_only=True))
+
 
 @pytest.mark.skipif(
     not os.environ.get("CROSSTALK_RUN_SLOW"),

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 
 import numpy as np
@@ -70,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=43)
     p.add_argument("--output_base", default=".")
     p.add_argument("--cache_dir", default=None)
+    p.add_argument("--resume", default=None, metavar="RUN_DIR",
+                   help="existing distillation training_run_* directory to "
+                        "resume from its last native checkpoint (identity "
+                        "hyperparameters are re-adopted from its params.txt; "
+                        "-n stays from this invocation as the extendable "
+                        "total-epoch target, like the train CLI)")
     return p
 
 
@@ -93,6 +100,45 @@ def main(argv=None) -> int:
     from crosstalk_tpu.models import build_model, init_model, torch_style_repr
     from crosstalk_tpu.train.loop import finish_training_run, train_model
     from crosstalk_tpu.train.steps import init_train_state, make_optimizer
+
+    if args.resume:
+        # A resumed distillation continues the SAME run: the hyperparameters
+        # that define its identity (teacher, student shape, distill target,
+        # corpus, split seed, schedule, artifact naming) come from the
+        # original params.txt, not this invocation's flags/defaults — the
+        # same contract as the train CLI's --resume (cli/train.py). -n stays
+        # from the invocation: it is the (extendable) total-epoch target.
+        original = artifacts.read_params_txt(args.resume)
+        if not original:
+            print(f"Error: {args.resume}/params.txt not found or empty — "
+                  "--resume needs the original distillation run directory.")
+            return 1
+
+        def _opt_int(v):
+            return None if v in (None, "None") else int(v)
+
+        adopted = []
+        for key, cast in (
+            ("mixed_channel_data_dir", str),
+            ("pure_source_data_dir", str),
+            ("teacher_path", str),
+            ("model_options", str),
+            ("initial_filters", int),
+            ("num_conv_blocks", _opt_int),
+            ("blend", float),
+            ("batch_size", int),
+            ("learning_rate", float),
+            ("learning_scheduler", str),
+            ("seed", int),
+        ):
+            if key in original:
+                orig_val = cast(original[key])
+                if getattr(args, key) != orig_val:
+                    adopted.append(f"{key}={orig_val}")
+                    setattr(args, key, orig_val)
+        if adopted:
+            print("Resume: adopting the original run's hyperparameters: "
+                  + ", ".join(adopted))
 
     # ---- data: reference split protocol ------------------------------
     try:
@@ -153,15 +199,25 @@ def main(argv=None) -> int:
     student_cfg = ModelConfig(variant=args.model_options, **model_kw)
     student = build_model(student_cfg)
 
-    ts = artifacts.timestamp()
-    run_dir = artifacts.make_training_run_dir(
-        args.output_base, ts, args.batch_size, args.learning_rate)
-    print(f"Saving all outputs to: {run_dir}")
-    params = dict(vars(args))
-    params["distilled_from"] = args.teacher_path
-    artifacts.write_params_txt(run_dir, params)
-    artifacts.write_architecture_txt(
-        run_dir, torch_style_repr(student_cfg, image_size=image_size))
+    if args.resume:
+        run_dir = args.resume
+        m = re.search(r"training_run_(.*)_B\d+_LR", run_dir)
+        ts = m.group(1) if m else artifacts.timestamp()
+        print(f"Resuming distillation run in: {run_dir}")
+        # params.txt stays the ORIGINAL run's record; log this invocation
+        # separately (same convention as the train CLI).
+        artifacts.write_params_txt(run_dir, dict(vars(args)),
+                                   filename="params_resume.txt")
+    else:
+        ts = artifacts.timestamp()
+        run_dir = artifacts.make_training_run_dir(
+            args.output_base, ts, args.batch_size, args.learning_rate)
+        print(f"Saving all outputs to: {run_dir}")
+        params = dict(vars(args))
+        params["distilled_from"] = args.teacher_path
+        artifacts.write_params_txt(run_dir, params)
+        artifacts.write_architecture_txt(
+            run_dir, torch_style_repr(student_cfg, image_size=image_size))
 
     optim_cfg = OptimConfig(learning_rate=args.learning_rate,
                             scheduler=args.learning_scheduler)
@@ -177,7 +233,8 @@ def main(argv=None) -> int:
     state, train_losses, val_losses = train_model(
         student, state, stores["train"], stores["val"],
         optim_cfg, train_cfg, run_dir, ts, args.model_options, tx,
-        seed=args.seed, naming_batch_size=args.batch_size)
+        seed=args.seed, resume=args.resume is not None,
+        naming_batch_size=args.batch_size)
     print("Distillation training finished!")
 
     # ---- scoreboard: TRUE labels, the shared finishing path ----------
