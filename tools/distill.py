@@ -6,11 +6,15 @@ this repo's --initial_filters extension exposes the width axis, and round 3
 measured the speed-quality frontier point that motivates this tool: width-32
 single-branch serves at 23,810 tiles/s (4.6x the flagship width-128) but
 costs 1.17x test MSE when trained from scratch (TRAINING_RESULTS "Capacity/
-speed tradeoff"). Distillation closes that quality gap: train the small
-student against the flagship teacher's predictions instead of (or blended
-with, --blend) the raw labels — the teacher's outputs are a denoised,
-smoother regression target, which is exactly where small models recover
-accuracy.
+speed tradeoff"). Distillation trains the small student against the
+flagship teacher's predictions instead of (or blended with, --blend) the
+raw labels. NOTE the measured round-5 finding (TRAINING_RESULTS
+"Distillation onto the width-32 serving config"): on corpora with EXACT
+labels (synthetic drawn alphas) the teacher's own error is pure noise
+added to the target and plain training (--blend 1) wins — the student
+faithfully inherited the teacher's errors (residual corr 0.825).
+Distillation's value case is noisy-label corpora, where the teacher is a
+denoised target.
 
 Protocol (mirrors the train CLI so every artifact lands in the standard
 run-dir contract and the student .pth serves through the standard stack):
