@@ -222,28 +222,19 @@ def main(argv=None) -> int:
             original.setdefault("dropout", "None")
             original.setdefault("initial_filters", "None")
             original.setdefault("num_conv_blocks", "None")
-        adopted = []
-
-        def _opt_int(v):  # "None" <-> flag left at its default
-            return None if v in (None, "None", "") else int(v)
-
-        for key, cast in (
+        adopted = artifacts.adopt_run_identity(original, args, (
             ("batch_size", int), ("learning_rate", float),
             ("learning_scheduler", str), ("model_options", str),
             ("compute_dtype", str), ("seed", int),
             ("train_ratio", float), ("val_ratio", float),
-            ("initial_filters", _opt_int), ("num_conv_blocks", _opt_int),
+            ("initial_filters", artifacts.opt_int),
+            ("num_conv_blocks", artifacts.opt_int),
             ("dropout", lambda v: None if v in (None, "None", "") else float(v)),
             # grad_accum changes the step's BN/dropout trajectory (one
             # microbatch-stat update per microbatch) — run identity, so a
             # resumed run must not silently switch accumulation semantics
             ("grad_accum", int),
-        ):
-            if key in original:
-                orig_val = cast(original[key])
-                if getattr(args, key) != orig_val:
-                    adopted.append(f"{key}={orig_val}")
-                    setattr(args, key, orig_val)
+        ))
         if adopted:
             print("Resume: adopting the original run's hyperparameters: "
                   + ", ".join(adopted))

@@ -98,6 +98,35 @@ def read_params_txt(run_dir: str, filename: str = "params.txt") -> Dict[str, str
     return out
 
 
+def opt_int(v):
+    """Cast a params.txt value to int, mapping the recorded ``None`` of an
+    unset optional flag (and absence) back to None."""
+    return None if v in (None, "None", "") else int(v)
+
+
+def adopt_run_identity(original, args, table):
+    """Overwrite ``args``' identity hyperparameters with the values a
+    previous run recorded in its params.txt — the shared core of every
+    ``--resume`` (cli/train.py, tools/distill.py): a resumed run must not
+    silently switch the hyperparameters that define its identity (naming,
+    split, schedule, model shape) just because the resume invocation used
+    different flags/defaults.
+
+    ``original`` is ``read_params_txt``'s dict; ``table`` is
+    ``((key, cast), ...)``. Keys absent from ``original`` are left as the
+    invocation provided them (callers setdefault back-compat keys first).
+    Returns the list of ``"key=value"`` adoptions applied.
+    """
+    adopted = []
+    for key, cast in table:
+        if key in original:
+            orig_val = cast(original[key])
+            if getattr(args, key) != orig_val:
+                adopted.append(f"{key}={orig_val}")
+                setattr(args, key, orig_val)
+    return adopted
+
+
 def write_architecture_txt(run_dir: str, summary: str) -> str:
     path = os.path.join(run_dir, "model_architecture.txt")
     with open(path, "w") as f:

@@ -185,6 +185,16 @@ def train_model(
                     f"{agreed.tolist()} — the --resume run directory must "
                     "be on a filesystem shared by every host"
                 )
+        if restored is None:
+            # A --resume with nothing restorable must not fall through to a
+            # fresh run: TrainingLog(resume_from_epoch=0) would truncate the
+            # original CSV history and the epilogue would overwrite the
+            # run's artifacts — destroying the run it claimed to continue.
+            raise ValueError(
+                f"--resume: no restorable checkpoint under "
+                f"{run_dir}/checkpoints — wrong directory, cleaned "
+                f"checkpoints, or a partial copy. Start a fresh run instead."
+            )
         if restored is not None:
             state, meta = restored
             state = replicate_state(state, mesh)

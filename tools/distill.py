@@ -108,41 +108,45 @@ def main(argv=None) -> int:
     if args.resume:
         # A resumed distillation continues the SAME run: the hyperparameters
         # that define its identity (teacher, student shape, distill target,
-        # corpus, split seed, schedule, artifact naming) come from the
-        # original params.txt, not this invocation's flags/defaults — the
-        # same contract as the train CLI's --resume (cli/train.py). -n stays
-        # from the invocation: it is the (extendable) total-epoch target.
+        # split seed, schedule, artifact naming) come from the original
+        # params.txt, not this invocation's flags/defaults — the same
+        # contract as the train CLI's --resume (cli/train.py, shared
+        # artifacts.adopt_run_identity). -n stays from the invocation: it is
+        # the (extendable) total-epoch target. The -m/-s/-p PATHS are NOT
+        # adopted (they may legitimately move, or be relative to a new cwd)
+        # — the invocation's paths are used, with a note when they differ
+        # from the record.
         original = artifacts.read_params_txt(args.resume)
-        if not original:
-            print(f"Error: {args.resume}/params.txt not found or empty — "
-                  "--resume needs the original distillation run directory.")
+        if not original or "distilled_from" not in original:
+            print(f"Error: {args.resume} is not a distillation run "
+                  "directory (no params.txt with a distilled_from record) — "
+                  "--resume needs the directory tools/distill.py created.")
             return 1
-
-        def _opt_int(v):
-            return None if v in (None, "None") else int(v)
-
-        adopted = []
-        for key, cast in (
-            ("mixed_channel_data_dir", str),
-            ("pure_source_data_dir", str),
-            ("teacher_path", str),
+        import glob as _glob
+        if not _glob.glob(os.path.join(args.resume, "checkpoints", "*")):
+            print(f"Error: no checkpoints under {args.resume}/checkpoints — "
+                  "nothing to resume (cleaned directory or partial copy). "
+                  "Start a fresh run instead.")
+            return 1
+        adopted = artifacts.adopt_run_identity(original, args, (
             ("model_options", str),
-            ("initial_filters", int),
-            ("num_conv_blocks", _opt_int),
+            ("initial_filters", artifacts.opt_int),
+            ("num_conv_blocks", artifacts.opt_int),
             ("blend", float),
             ("batch_size", int),
             ("learning_rate", float),
             ("learning_scheduler", str),
             ("seed", int),
-        ):
-            if key in original:
-                orig_val = cast(original[key])
-                if getattr(args, key) != orig_val:
-                    adopted.append(f"{key}={orig_val}")
-                    setattr(args, key, orig_val)
+        ))
         if adopted:
             print("Resume: adopting the original run's hyperparameters: "
                   + ", ".join(adopted))
+        for key in ("mixed_channel_data_dir", "pure_source_data_dir",
+                    "teacher_path"):
+            if key in original and getattr(args, key) != original[key]:
+                print(f"Resume: note — {key} differs from the original "
+                      f"record ({original[key]}); using this invocation's "
+                      f"{getattr(args, key)}")
 
     # ---- data: reference split protocol ------------------------------
     try:
