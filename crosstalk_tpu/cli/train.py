@@ -212,6 +212,19 @@ def main(argv=None) -> int:
         # continued CSV) and the schedule silently changes. -n stays from
         # the invocation: it is the (extendable) total-epoch target.
         original = artifacts.read_params_txt(args.resume)
+        # Single-process: fail cleanly up front when there is nothing to
+        # restore (train/loop.py's guard also catches this for every
+        # caller, but with a traceback). Multi-host skips the pre-check —
+        # per-rank early returns would desync the collective digest check
+        # below, which owns that failure mode.
+        import glob
+
+        if jax.process_count() == 1 and not glob.glob(
+                os.path.join(args.resume, "checkpoints", "*")):
+            print(f"Error: no checkpoints under {args.resume}/checkpoints — "
+                  "nothing to resume (wrong directory, cleaned checkpoints, "
+                  "or a partial copy). Start a fresh run instead.")
+            return 1
         # run dirs that predate an identity flag recorded no key for it;
         # their effective value was the flag's default — adopt that like
         # any recorded hyperparameter, so resuming an old run with

@@ -493,6 +493,28 @@ def test_trained_pth_loads_in_torch(trained_run):
     assert out.shape == (2, 1)
 
 
+def test_resume_without_checkpoints_fails_cleanly(trained_run, tmp_path,
+                                                  capsys):
+    """--resume on a dir with params.txt but no checkpoints must fail with
+    a clean error, NOT silently retrain from epoch 0 (which would truncate
+    the original log CSV and overwrite the run's artifacts)."""
+    from crosstalk_tpu.cli.train import main as train_main
+
+    import shutil
+
+    _, mixed_dir, source_dir, _, run_dir = trained_run
+    fake = tmp_path / "training_run_fake_B8_LR0.001"
+    fake.mkdir()
+    shutil.copy(os.path.join(run_dir, "params.txt"), fake / "params.txt")
+    rc = train_main([
+        "-m", mixed_dir, "-s", source_dir, "-n", "5",
+        "-j", "2", "-o", "single", "--output_base", str(tmp_path),
+        "--num_devices", "1", "--resume", str(fake),
+    ])
+    assert rc == 1
+    assert "no checkpoints under" in capsys.readouterr().out
+
+
 def test_resume_continues(trained_run):
     from crosstalk_tpu.cli.train import main as train_main
 
